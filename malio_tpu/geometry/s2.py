@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .so3 import hat, exp_so3_mat, A_matrix
+from .so3 import hat, exp_so3_mat, A_matrix, _safe_sqrt_n2
 
 _SMALL = 1e-7
 
@@ -59,30 +59,37 @@ def s2_boxplus(v, delta, length=DEFAULT_LENGTH):
 def s2_boxminus(v, other, length=DEFAULT_LENGTH):
     """2-DOF difference v boxminus other (S2.hpp:144-167)."""
     cross = jnp.cross(v, other)
-    v_sin = jnp.linalg.norm(cross, axis=-1)
+    n2c = jnp.sum(cross * cross, axis=-1)
     v_cos = jnp.sum(v * other, axis=-1)
+    # scale = atan2(|cross|, dot)/|cross| is an even, smooth function of
+    # |cross|^2 near coincidence; the Taylor branch keeps it differentiable
+    # there (atan(s/c)/s = 1/c - s^2/(3 c^3) + O(s^4))
+    tiny = n2c < 1e-12
+    v_sin = jnp.sqrt(jnp.where(tiny, 1.0, n2c))
     theta = jnp.arctan2(v_sin, v_cos)
+    scale = jnp.where(
+        tiny,
+        1.0 / v_cos - n2c / (3.0 * v_cos**3),
+        theta / v_sin,
+    )
     Bx_o = s2_bx(other, length)
     w = jnp.einsum(
         "...ji,...j->...i", Bx_o, jnp.cross(other, v)
     )  # Bx^T (hat(other) v)
-    safe = v_sin >= _SMALL
-    scale = jnp.where(safe, theta / jnp.where(safe, v_sin, 1.0), 0.0)
     main = scale[..., None] * w
-    # degenerate: parallel (-> 0) or antiparallel (-> [pi, 0])
-    anti = jnp.abs(theta) > _SMALL
+    # antiparallel fallback (v_cos < 0, cross ~ 0): chart-degenerate [pi, 0]
+    anti = tiny & (v_cos < 0)
     fallback = jnp.stack(
-        [jnp.where(anti, jnp.pi, 0.0), jnp.zeros_like(theta)], axis=-1
+        [jnp.full_like(theta, jnp.pi), jnp.zeros_like(theta)], axis=-1
     ).astype(v.dtype)
-    return jnp.where(safe[..., None], main, fallback)
+    return jnp.where(anti[..., None], fallback, main)
 
 
 def s2_mx(v, delta, length=DEFAULT_LENGTH):
     """d(v boxplus delta)/d delta, 3x2 (S2.hpp:276-290)."""
     Bx = s2_bx(v, length)
     Bu = jnp.einsum("...ij,...j->...i", Bx, delta)
-    nd = jnp.linalg.norm(delta, axis=-1)
-    small = nd < _SMALL
+    small = jnp.sum(delta * delta, axis=-1) < _SMALL * _SMALL
     hv = hat(v)
     small_res = -hv @ Bx
     R = exp_so3_mat(Bu)

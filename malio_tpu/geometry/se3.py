@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .so3 import hat, exp_so3_mat, log_so3_mat, quat_to_mat, mat_to_quat
+from .so3 import hat, exp_so3_mat, log_so3_mat, quat_to_mat, mat_to_quat, _safe_sqrt_n2
 
 _SMALL = 1e-6
 
@@ -18,13 +18,10 @@ def exp_se3(xi):
     w = xi[..., :3]
     u = xi[..., 3:]
     n2 = jnp.sum(w * w, axis=-1)[..., None, None]
-    n = jnp.sqrt(n2)
-    small = n < _SMALL
-    safe_n = jnp.where(small, jnp.ones_like(n), n)
-    safe_n2 = jnp.where(small, jnp.ones_like(n2), n2)
-    A = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(n) / safe_n)
-    B = jnp.where(small, 0.5 - n2 / 24.0, (1.0 - jnp.cos(n)) / safe_n2)
-    C = jnp.where(small, 1.0 / 6.0 - n2 / 120.0, (1.0 - A) / safe_n2)
+    small, n = _safe_sqrt_n2(n2)
+    A = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(n) / n)
+    B = jnp.where(small, 0.5 - n2 / 24.0, (1.0 - jnp.cos(n)) / (n * n))
+    C = jnp.where(small, 1.0 / 6.0 - n2 / 120.0, (1.0 - A) / (n * n))
     W = hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = I + A * W + B * (W @ W)
@@ -41,20 +38,15 @@ def log_se3(T):
     t = T[..., :3, 3]
     w = log_so3_mat(R)
     n2 = jnp.sum(w * w, axis=-1)[..., None]
-    n = jnp.sqrt(n2)
-    small = n < _SMALL
-    safe_n = jnp.where(small, jnp.ones_like(n), n)
-    W = hat(w / safe_n)
+    small, n = _safe_sqrt_n2(n2)
+    W = hat(w / n)
     Wt = jnp.einsum("...ij,...j->...i", W, t)
     WWt = jnp.einsum("...ij,...j->...i", W, Wt)
     # coefficient (1 - t/(2 tan(t/2))); Taylor: n^2/12 + n^4/720
-    half = 0.5 * n
-    tan_half = jnp.tan(half)
-    coef = jnp.where(
-        small, n2 / 12.0, 1.0 - n / (2.0 * jnp.where(small, 1.0, tan_half))
-    )
-    u = t - half * Wt * jnp.where(small, 0.0, 1.0) + coef * WWt
-    # for tiny angle the exact formula reduces to u = t
+    coef = jnp.where(small, n2 / 12.0, 1.0 - n / (2.0 * jnp.tan(0.5 * n)))
+    u = t - 0.5 * n * Wt + coef * WWt
+    # for tiny angle the exact formula reduces to u = t (W is built from a
+    # clamped norm there, so mask its contribution out)
     u = jnp.where(small, t, u)
     return jnp.concatenate([w, u], axis=-1)
 

@@ -18,6 +18,16 @@ import jax.numpy as jnp
 # Switch point between Taylor series and closed form. Well inside the region
 # where both are accurate to full precision for f32 and f64.
 _SMALL = 1e-6
+_SMALL2 = _SMALL * _SMALL
+
+
+def _safe_sqrt_n2(n2):
+    """sqrt of a squared norm that is differentiable at zero: the untaken
+    closed-form branch sees a clamped argument so its gradient stays finite
+    (double-where pattern)."""
+    small = n2 < _SMALL2
+    n2s = jnp.where(small, jnp.ones_like(n2), n2)
+    return small, jnp.sqrt(n2s)
 
 
 def hat(v):
@@ -79,13 +89,11 @@ def exp_so3(v):
     q = [cos(|v|/2), sinc(|v|/2)/2 * v]; Taylor sinc for small angles
     (mirrors MTK::exp with scale=1/2, mtkmath.hpp:249-256)."""
     n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-    n = jnp.sqrt(n2)
-    half = 0.5 * n
-    small = n < _SMALL
+    small, n = _safe_sqrt_n2(n2)
     # sin(n/2)/n ; Taylor: 1/2 - n^2/48 + n^4/3840
-    safe_n = jnp.where(small, jnp.ones_like(n), n)
-    k = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(half) / safe_n)
-    w = jnp.cos(half)
+    k = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(0.5 * n) / n)
+    # cos(n/2) ; Taylor: 1 - n^2/8 + n^4/384
+    w = jnp.where(small, 1.0 - n2 / 8.0 + n2 * n2 / 384.0, jnp.cos(0.5 * n))
     return jnp.concatenate([w, k * v], axis=-1)
 
 
@@ -96,12 +104,10 @@ def log_so3(q):
     w = q[..., :1]
     u = q[..., 1:]
     n2 = jnp.sum(u * u, axis=-1, keepdims=True)
-    n = jnp.sqrt(n2)
-    small = n < _SMALL
-    safe_n = jnp.where(small, jnp.ones_like(n), n)
+    small, n = _safe_sqrt_n2(n2)
     ang = 2.0 * jnp.arctan2(n, w)
     # 2*atan2(n,w)/n ; Taylor around n->0 (w ~ 1): 2/w - 2 n^2 / (3 w^3)
-    k = jnp.where(small, 2.0 / w - 2.0 * n2 / (3.0 * w**3), ang / safe_n)
+    k = jnp.where(small, 2.0 / w - 2.0 * n2 / (3.0 * w**3), ang / n)
     return k * u
 
 
@@ -154,13 +160,9 @@ def A_matrix(v):
     I + (1-cos n)/n^2 hat(v) + (1 - sin(n)/n)/n^2 hat(v)^2
     (mtkmath.hpp:236-247) with Taylor fallbacks."""
     n2 = jnp.sum(v * v, axis=-1)[..., None, None]
-    n = jnp.sqrt(n2)
-    small = n < _SMALL
-    safe_n2 = jnp.where(small, jnp.ones_like(n2), n2)
-    c1 = jnp.where(small, 0.5 - n2 / 24.0, (1.0 - jnp.cos(n)) / safe_n2)
-    c2 = jnp.where(
-        small, 1.0 / 6.0 - n2 / 120.0, (1.0 - jnp.sin(n) / jnp.where(small, 1.0, n)) / safe_n2
-    )
+    small, n = _safe_sqrt_n2(n2)
+    c1 = jnp.where(small, 0.5 - n2 / 24.0, (1.0 - jnp.cos(n)) / (n * n))
+    c2 = jnp.where(small, 1.0 / 6.0 - n2 / 120.0, (1.0 - jnp.sin(n) / n) / (n * n))
     V = hat(v)
     I = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), V.shape)
     return I + c1 * V + c2 * (V @ V)
@@ -169,12 +171,9 @@ def A_matrix(v):
 def exp_so3_mat(v):
     """Rotation vector -> rotation matrix (Rodrigues)."""
     n2 = jnp.sum(v * v, axis=-1)[..., None, None]
-    n = jnp.sqrt(n2)
-    small = n < _SMALL
-    safe_n = jnp.where(small, jnp.ones_like(n), n)
-    safe_n2 = jnp.where(small, jnp.ones_like(n2), n2)
-    s = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(n) / safe_n)
-    c = jnp.where(small, 0.5 - n2 / 24.0, (1.0 - jnp.cos(n)) / safe_n2)
+    small, n = _safe_sqrt_n2(n2)
+    s = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(n) / n)
+    c = jnp.where(small, 0.5 - n2 / 24.0, (1.0 - jnp.cos(n)) / (n * n))
     V = hat(v)
     I = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), V.shape)
     return I + s * V + c * (V @ V)

@@ -1,0 +1,236 @@
+"""HBM-resident voxel-hash map with batched k-NN — the TPU-native
+replacement for the reference's incremental k-d tree (ikd-Tree).
+
+Policy parity with the reference (not a port of its pointer machinery):
+
+  * the map keeps ~one point per `voxel_size` voxel, preferring the point
+    with the LOWEST stored covariance (`normal_y`) — the MA-LIO modification
+    of the ikd-tree's insert-time downsample (ikd_Tree.cpp:504-522) and the
+    map_incremental dedup policy (laserMapping.cpp:398-446);
+  * box eviction replaces lasermap_fov_segment + Delete_Point_Boxes
+    (laserMapping.cpp:171-224): cells outside the sliding local-map box are
+    freed in one masked pass — no background rebuild thread is needed
+    because insert/evict are O(1) data-parallel scatters;
+  * k-NN returns the 5 nearest stored points with their covariances,
+    searched over the (2r+1)^3 voxel neighborhood of the query.
+
+Implementation: fixed-capacity open-addressing hash table in device memory.
+Slots store voxel coords, point, covariance. Lookups probe a fixed number of
+slots (no early exit — SIMD-friendly and deletion-safe). Insertion is a
+data-parallel claim protocol: match-first lookup, then scatter-min races to
+claim empty slots, repeated for a fixed number of rounds.
+
+All operations are jit-safe, vmap-based, fixed-shape.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# spatial hash primes (Teschner et al.)
+_P1 = jnp.int32(73856093)
+_P2 = jnp.int32(19349663)
+_P3 = jnp.int32(83492791)
+
+MAX_PROBE = 8
+INSERT_ROUNDS = 4
+NUM_MATCH_POINTS = 5  # common_lib.h:22
+
+
+class VoxelHashMap(NamedTuple):
+    keys: jnp.ndarray  # (C, 3) int32 voxel coords
+    occupied: jnp.ndarray  # (C,) bool
+    points: jnp.ndarray  # (C, 3) point stored in the voxel
+    covs: jnp.ndarray  # (C,) stored covariance (normal_y)
+    # static metadata carried as python floats/ints via functools closures is
+    # avoided; voxel_size rides along as a 0-d array
+    voxel_size: jnp.ndarray  # () f32
+
+
+def create(capacity: int, voxel_size: float, dtype=jnp.float32) -> VoxelHashMap:
+    assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+    return VoxelHashMap(
+        keys=jnp.zeros((capacity, 3), jnp.int32),
+        occupied=jnp.zeros((capacity,), bool),
+        points=jnp.zeros((capacity, 3), dtype),
+        covs=jnp.full((capacity,), jnp.inf, dtype),
+        voxel_size=jnp.asarray(voxel_size, dtype),
+    )
+
+
+def voxel_key(m: VoxelHashMap, pts):
+    return jnp.floor(pts / m.voxel_size).astype(jnp.int32)
+
+
+def _hash(keys, capacity):
+    h = (keys[..., 0] * _P1) ^ (keys[..., 1] * _P2) ^ (keys[..., 2] * _P3)
+    return h & jnp.int32(capacity - 1)
+
+
+def _probe_slots(keys, capacity):
+    """(..., MAX_PROBE) candidate slot indices for each key."""
+    h = _hash(keys, capacity)
+    offs = jnp.arange(MAX_PROBE, dtype=jnp.int32)
+    return (h[..., None] + offs) & jnp.int32(capacity - 1)
+
+
+def lookup(m: VoxelHashMap, keys):
+    """Find the slot holding each key. Returns (slot (...,), found (...,))
+    with slot == 0 when not found (mask with `found`)."""
+    C = m.keys.shape[0]
+    slots = _probe_slots(keys, C)  # (..., P)
+    cand_keys = m.keys[slots]  # (..., P, 3)
+    cand_occ = m.occupied[slots]
+    match = cand_occ & jnp.all(cand_keys == keys[..., None, :], axis=-1)
+    found = jnp.any(match, axis=-1)
+    first = jnp.argmax(match, axis=-1)
+    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    return jnp.where(found, slot, 0), found
+
+
+def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
+    """Insert a batch of world-frame points with stored covariances.
+
+    Policy: a voxel keeps the lowest-covariance point offered to it
+    (ikd_Tree.cpp:504-522). Candidates whose voxel cell cannot be claimed
+    within INSERT_ROUNDS * MAX_PROBE probes are dropped (overflow)."""
+    C = m.keys.shape[0]
+    N = pts.shape[0]
+    keys = voxel_key(m, pts)
+    pending = mask
+
+    def round_body(_, carry):
+        m, pending = carry
+        # 1. match-first: update existing cells by scatter-min on covariance
+        slot, found = lookup(m, keys)
+        upd = pending & found
+        upd_slot = jnp.where(upd, slot, C)  # C = dump row
+        cov_pad = jnp.where(upd, covs, jnp.inf)
+        # winner per slot: lowest covariance, ties by candidate index
+        cell_min = (
+            jnp.full((C + 1,), jnp.inf, m.covs.dtype).at[upd_slot].min(cov_pad)
+        )[:-1]
+        improves = upd & (cov_pad[: N] <= cell_min[slot]) & (cov_pad < m.covs[slot])
+        # resolve exact ties deterministically by candidate id
+        tie_id = (
+            jnp.full((C + 1,), N, jnp.int32)
+            .at[jnp.where(improves, slot, C)]
+            .min(jnp.arange(N, dtype=jnp.int32))
+        )[:-1]
+        winner = improves & (tie_id[slot] == jnp.arange(N))
+        w_slot = jnp.where(winner, slot, C)
+        new_points = (
+            jnp.concatenate([m.points, jnp.zeros((1, 3), m.points.dtype)])
+            .at[w_slot]
+            .set(pts)
+        )[:-1]
+        new_covs = (
+            jnp.concatenate([m.covs, jnp.zeros((1,), m.covs.dtype)])
+            .at[w_slot]
+            .set(covs)
+        )[:-1]
+        m = m._replace(points=new_points, covs=new_covs)
+        pending = pending & ~found  # matched candidates are done (win or lose)
+
+        # 2. claim an empty slot for still-pending candidates: first empty
+        #    slot in the probe sequence; scatter-min candidate id to resolve
+        slots = _probe_slots(keys, C)  # (N, P)
+        empty = ~m.occupied[slots]
+        has_empty = jnp.any(empty, axis=-1)
+        first_empty = jnp.argmax(empty, axis=-1)
+        tgt = jnp.take_along_axis(slots, first_empty[..., None], axis=-1)[..., 0]
+        claim = pending & has_empty
+        c_slot = jnp.where(claim, tgt, C)
+        claim_id = (
+            jnp.full((C + 1,), N, jnp.int32)
+            .at[c_slot]
+            .min(jnp.arange(N, dtype=jnp.int32))
+        )[:-1]
+        winner = claim & (claim_id[tgt] == jnp.arange(N))
+        w_slot = jnp.where(winner, tgt, C)
+        new_keys = (
+            jnp.concatenate([m.keys, jnp.zeros((1, 3), jnp.int32)])
+            .at[w_slot]
+            .set(keys)
+        )[:-1]
+        new_points = (
+            jnp.concatenate([m.points, jnp.zeros((1, 3), m.points.dtype)])
+            .at[w_slot]
+            .set(pts)
+        )[:-1]
+        new_covs = (
+            jnp.concatenate([m.covs, jnp.zeros((1,), m.covs.dtype)])
+            .at[w_slot]
+            .set(covs)
+        )[:-1]
+        new_occ = (
+            jnp.concatenate([m.occupied, jnp.zeros((1,), bool)])
+            .at[w_slot]
+            .set(True)
+        )[:-1]
+        m = m._replace(keys=new_keys, points=new_points, covs=new_covs, occupied=new_occ)
+        pending = pending & ~winner
+        return m, pending
+
+    m, _pending = jax.lax.fori_loop(0, INSERT_ROUNDS, round_body, (m, pending))
+    return m
+
+
+def evict_outside(m: VoxelHashMap, box_min, box_max) -> VoxelHashMap:
+    """Free all cells whose point lies outside [box_min, box_max] — the
+    sliding-local-map eviction (laserMapping.cpp:171-224)."""
+    inside = jnp.all((m.points >= box_min) & (m.points <= box_max), axis=-1)
+    keep = m.occupied & inside
+    return m._replace(
+        occupied=keep, covs=jnp.where(keep, m.covs, jnp.inf)
+    )
+
+
+def size(m: VoxelHashMap):
+    return jnp.sum(m.occupied)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius"))
+def knn(m: VoxelHashMap, queries, k: int = NUM_MATCH_POINTS, radius: int = 1):
+    """Batched k-NN over the voxel neighborhood.
+
+    queries: (Q, 3) world points. Returns:
+      nn_pts  (Q, k, 3), nn_covs (Q, k), nn_d2 (Q, k)  sorted ascending,
+      nn_cnt  (Q,) number of real neighbors found (<= k).
+
+    Replaces ikd-tree Nearest_Search (ikd_Tree.cpp:1073-1255); the caller
+    applies the reference's acceptance rule (found >= 5 and 5th dist^2 <= 5,
+    laserMapping.cpp:587).
+    """
+    C = m.keys.shape[0]
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    offs = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), axis=-1).reshape(-1, 3)
+    V = offs.shape[0]
+
+    qkeys = voxel_key(m, queries)  # (Q, 3)
+    nkeys = qkeys[:, None, :] + offs[None, :, :]  # (Q, V, 3)
+    slots = _probe_slots(nkeys, C)  # (Q, V, P)
+    cand_keys = m.keys[slots]
+    cand_occ = m.occupied[slots]
+    match = cand_occ & jnp.all(cand_keys == nkeys[..., None, :], axis=-1)  # (Q,V,P)
+    cand_pts = m.points[slots]  # (Q, V, P, 3)
+    cand_cov = m.covs[slots]
+
+    flat_match = match.reshape(queries.shape[0], V * MAX_PROBE)
+    flat_pts = cand_pts.reshape(queries.shape[0], V * MAX_PROBE, 3)
+    flat_cov = cand_cov.reshape(queries.shape[0], V * MAX_PROBE)
+
+    diff = flat_pts - queries[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    d2 = jnp.where(flat_match, d2, big)
+
+    neg_top, idx = jax.lax.top_k(-d2, k)
+    nn_d2 = -neg_top
+    nn_pts = jnp.take_along_axis(flat_pts, idx[..., None], axis=1)
+    nn_covs = jnp.take_along_axis(flat_cov, idx, axis=1)
+    nn_cnt = jnp.sum(nn_d2 < big, axis=-1)
+    return nn_pts, nn_covs, nn_d2, nn_cnt

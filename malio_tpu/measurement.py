@@ -1,0 +1,251 @@
+"""Point-to-plane measurement model with the three uncertainty weighting
+laws — the TPU-native h_share_model (laserMapping.cpp:552-760).
+
+The reference runs an OpenMP loop over points doing k-d tree queries and
+5-point plane fits; here the whole model is one batched computation over a
+padded (M,) point set: gather-based voxel-hash k-NN, closed-form weighted
+plane LSQ, masked min/max normalizations, and a 3x3 eigen-solve for the
+localization weight. All data-dependent selection is masking.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import so3
+from . import state as st
+from . import uncertainty as unc
+from .filter.esekf import HShareResult
+from .map import voxel_hash as vh
+
+NUM_MATCH = vh.NUM_MATCH_POINTS  # 5
+NN_REJECT_D2 = 5.0  # laserMapping.cpp:587
+
+
+class ScanData(NamedTuple):
+    """Per-update-round constants for the measurement model."""
+
+    pts_body: jnp.ndarray  # (M, 3) deskewed points, own LiDAR end-frame
+    pt_lidar: jnp.ndarray  # (M,) int32 physical LiDAR index
+    pt_epoch: jnp.ndarray  # (M,) int32 uncertainty epoch index
+    pt_mask: jnp.ndarray  # (M,) bool
+    tc_q: jnp.ndarray  # (L, 4) temporal comp rotation (identity at base)
+    tc_t: jnp.ndarray  # (L, 3)
+    base: jnp.ndarray  # () int32: physical index of the base LiDAR
+    unc_q: jnp.ndarray  # (L, E, 4) per-epoch pose uncertainty chain
+    unc_t: jnp.ndarray  # (L, E, 3)
+    unc_cov: jnp.ndarray  # (L, E, 6, 6)
+    epoch_count: jnp.ndarray  # (L,) int32 valid epochs per LiDAR
+
+
+class HShareCache(NamedTuple):
+    nn_pts: jnp.ndarray  # (M, 5, 3)
+    nn_covs: jnp.ndarray  # (M, 5)
+    selected: jnp.ndarray  # (M,) bool
+    normal_y: jnp.ndarray  # (M,) per-point covariance for map insertion
+
+
+def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
+    return HShareCache(
+        nn_pts=jnp.zeros((M, NUM_MATCH, 3), dtype),
+        nn_covs=jnp.zeros((M, NUM_MATCH), dtype),
+        selected=jnp.zeros((M,), bool),
+        normal_y=jnp.zeros((M,), dtype),
+    )
+
+
+def _esti_plane(nn_pts, nn_covs, plane_th, cov_threshold):
+    """Weighted plane fit over 5 neighbors (common_lib.h:144-190).
+
+    Solves the LSQ system A n = -1 (the weights only shape the plane quality
+    value, matching the reference, which builds W but solves unweighted).
+    Returns (normal (3,), d (), plane_valid (), plane_cov ())."""
+    A = nn_pts  # (5, 3)
+    G = A.T @ A
+    rhs = -jnp.sum(A, axis=0)
+    # 3x3 solve; regularize minimally to stay finite on degenerate fits
+    n = jnp.linalg.solve(G + 1e-12 * jnp.eye(3, dtype=A.dtype), rhs)
+    norm = jnp.linalg.norm(n)
+    safe = jnp.maximum(norm, 1e-12)
+    normal = n / safe
+    d = 1.0 / safe
+    resid = A @ normal + d
+    plane_valid = jnp.all(jnp.abs(resid) <= plane_th) & (norm > 1e-9)
+
+    w = nn_covs
+    cov_sum = jnp.sum(jnp.abs(cov_threshold - w))
+    frac = (cov_threshold - w) / jnp.maximum(cov_sum, 1e-20)
+    plane_cov = jnp.where(
+        w[0] > 1e-5, jnp.sum(frac * frac * w), 0.0
+    )  # common_lib.h:167-173
+    return normal, d, plane_valid, plane_cov
+
+
+def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
+    """Build the HShareFn closure for one fusion round."""
+    L = data.tc_q.shape[0]
+    act = 6 * (L + 1)
+    dtype = data.pts_body.dtype
+    M = data.pts_body.shape[0]
+
+    def h_share(x: st.State, search: jnp.ndarray, cache: HShareCache):
+        base = data.base
+        bq = x.ext_r[base]
+        bt = x.ext_t[base]
+        pl = data.pt_lidar
+        is_base = pl == base
+
+        ext_q_p = x.ext_r[pl]
+        ext_t_p = x.ext_t[pl]
+        tcq = data.tc_q[pl]
+        tct = data.tc_t[pl]
+
+        p = data.pts_body
+        # non-base points into the base LiDAR frame via temporal comp
+        # (laserMapping.cpp:570-572)
+        p_nb = so3.quat_rotate_inv(
+            bq[None],
+            so3.quat_rotate(tcq, so3.quat_rotate(ext_q_p, p) + ext_t_p)
+            + tct
+            - bt[None],
+        )
+        p_base = jnp.where(is_base[:, None], p, p_nb)
+        p_imu = so3.quat_rotate(bq[None], p_base) + bt[None]
+        p_world = so3.quat_rotate(x.rot[None], p_imu) + x.pos[None]
+
+        # --- correspondence search (gated like dyn_share.converge) ---
+        def do_search(_):
+            nn_pts, nn_covs, nn_d2, nn_cnt = vh.knn(
+                map_state, p_world, k=NUM_MATCH, radius=cfg.knn_radius
+            )
+            sel = (
+                data.pt_mask
+                & (nn_cnt >= NUM_MATCH)
+                & (nn_d2[:, NUM_MATCH - 1] <= NN_REJECT_D2)
+            )
+            return nn_pts, nn_covs, sel
+
+        def reuse(_):
+            return cache.nn_pts, cache.nn_covs, cache.selected
+
+        nn_pts, nn_covs, selected = jax.lax.cond(search, do_search, reuse, None)
+
+        # --- plane fit + quality gate ---
+        normal, d, plane_valid, plane_cov = jax.vmap(
+            _esti_plane, in_axes=(0, 0, None, None)
+        )(nn_pts, nn_covs, jnp.asarray(cfg.plane_th, dtype), jnp.asarray(cfg.cov_threshold, dtype))
+        pd2 = jnp.sum(normal * p_world, axis=-1) + d
+        r_base = jnp.linalg.norm(p_base, axis=-1)
+        score = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.maximum(r_base, 1e-9))
+        selected = selected & plane_valid & (score > 0.1)
+        eff = selected.astype(dtype)
+        n_eff = jnp.sum(eff)
+        valid = n_eff >= 1.0
+
+        # --- plane weighting law (laserMapping.cpp:649-656) ---
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        pc_masked_max = jnp.max(jnp.where(selected, plane_cov, -big))
+        pc_masked_min = jnp.min(jnp.where(selected, plane_cov, big))
+        span = pc_masked_max - pc_masked_min
+        norm01 = (plane_cov - pc_masked_min) / jnp.where(span > 0, span, 1.0)
+        w_plane_lin = 1.0 / (
+            (cfg.plane_cov_max - cfg.plane_cov_min) * norm01 + cfg.plane_cov_min
+        )
+        w_plane = jnp.where(
+            plane_cov == 0.0,
+            1.0,
+            jnp.where(span > 0, w_plane_lin, (cfg.plane_cov_max + cfg.plane_cov_min) / 2.0),
+        )
+
+        # --- H rows (laserMapping.cpp:658-707) ---
+        C = so3.quat_rotate_inv(x.rot[None], normal)  # (M, 3)
+        A_col = jnp.einsum("mij,mj->mi", so3.hat(p_imu), C)
+        # extrinsic Jacobians: base points use the base-frame point, others
+        # use the raw own-frame point and temporal-comp-rotated C
+        C_ext = jnp.where(
+            is_base[:, None], C, so3.quat_rotate_inv(tcq, C)
+        )
+        p_for_B = jnp.where(is_base[:, None], p_base, p)
+        eq = jnp.where(is_base[:, None], jnp.broadcast_to(bq, (M, 4)), ext_q_p)
+        B_col = jnp.einsum(
+            "mij,mj->mi", so3.hat(p_for_B), so3.quat_rotate_inv(eq, C_ext)
+        )
+
+        # scatter B at ext_r slot, C_ext at ext_t slot of the point's LiDAR
+        slot = jnp.where(is_base, base, pl)
+        onehot = jax.nn.one_hot(slot, L, dtype=dtype)  # (M, L)
+        H_ext_r = (onehot[:, :, None] * B_col[:, None, :]).reshape(M, 3 * L)
+        H_ext_t = (onehot[:, :, None] * C_ext[:, None, :]).reshape(M, 3 * L)
+        if not cfg.extrinsic_est_en:
+            H_ext_r = jnp.zeros_like(H_ext_r)
+            H_ext_t = jnp.zeros_like(H_ext_t)
+        H = jnp.concatenate([normal, A_col, H_ext_r, H_ext_t], axis=-1)  # (M, act)
+
+        # --- per-point measurement noise (evalPointUncertainty) ---
+        cnt = data.epoch_count[pl]
+        e_sel = jnp.where(data.pt_epoch >= cnt, cnt - 2, data.pt_epoch)
+        e_sel = jnp.clip(e_sel, 0, data.unc_q.shape[1] - 1)
+        pose_e = unc.Pose(
+            q=data.unc_q[pl, e_sel], t=data.unc_t[pl, e_sel], cov=data.unc_cov[pl, e_sel]
+        )
+        r_trace = unc.point_uncertainty_trace(p, pose_e)  # raw trace, (M,)
+
+        # non-selected points use the harder clamp (laserMapping.cpp:737-739)
+        e_un = jnp.where(data.pt_epoch >= cnt - 1, cnt - 2, data.pt_epoch)
+        e_un = jnp.clip(e_un, 0, data.unc_q.shape[1] - 1)
+        pose_u = unc.Pose(
+            q=data.unc_q[pl, e_un], t=data.unc_t[pl, e_un], cov=data.unc_cov[pl, e_un]
+        )
+        r_trace_un = unc.point_uncertainty_trace(p, pose_u)
+        normal_y = jnp.where(selected, r_trace, r_trace_un)
+
+        # --- point weighting law (laserMapping.cpp:710-722) ---
+        r_max = jnp.max(jnp.where(selected, r_trace, -big))
+        r_min = jnp.min(jnp.where(selected, r_trace, big))
+        r_span = r_max - r_min
+        lo = r_min + r_span * cfg.range_min
+        hi = r_min + r_span * cfg.range_max
+        lin = (cfg.point_cov_max - cfg.point_cov_min) * (r_trace - lo) / jnp.maximum(
+            (cfg.range_max - cfg.range_min) * r_span, 1e-20
+        ) + cfg.point_cov_min
+        R_eff = jnp.where(
+            r_trace < lo,
+            cfg.point_cov_min,
+            jnp.where(r_trace > hi, cfg.point_cov_max, lin),
+        )
+
+        # --- apply plane weights ---
+        Hw = H * (w_plane * eff)[:, None]
+        hw = (-pd2) * w_plane * eff
+
+        # --- localization weight (laserMapping.cpp:744-759): sigma3/sigma1
+        # of the weighted position columns ---
+        Hp = Hw[:, :3]
+        GtG = Hp.T @ Hp
+        evals = jnp.linalg.eigvalsh(GtG)  # ascending
+        sigma = jnp.sqrt(jnp.maximum(evals, 0.0))
+        ratio = sigma[0] / jnp.maximum(sigma[2], 1e-20)
+        w_loc = jnp.where(
+            ratio > cfg.localize_thresh_max,
+            cfg.localize_cov_max,
+            jnp.where(
+                ratio < cfg.localize_thresh_min,
+                cfg.localize_cov_min,
+                (cfg.localize_cov_max - cfg.localize_cov_min)
+                * (ratio - cfg.localize_thresh_min)
+                / (cfg.localize_thresh_max - cfg.localize_thresh_min)
+                + cfg.localize_cov_min,
+            ),
+        )
+        Hw = Hw * w_loc
+        hw = hw * w_loc
+
+        new_cache = HShareCache(
+            nn_pts=nn_pts, nn_covs=nn_covs, selected=selected, normal_y=normal_y
+        )
+        res = HShareResult(valid=valid, h=hw, H=Hw, R=R_eff, mask=selected)
+        return res, new_cache
+
+    return h_share

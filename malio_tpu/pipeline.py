@@ -1,0 +1,274 @@
+"""The per-scan-group fusion step and its carry — the TPU-native main loop.
+
+One jitted function `step(cfg, carry, group)` performs everything the
+reference's main-loop body does for one synchronized multi-LiDAR round
+(laserMapping.cpp:941-1078):
+
+  undistort (IMU propagate + spline deskew + uncertainty chains)
+  -> per-LiDAR voxel downsample
+  -> sliding local-map box maintenance + eviction
+  -> per-LiDAR/epoch pose-uncertainty composition
+  -> iterated ESKF update with the three weighting laws
+  -> map insertion with the lowest-covariance voxel policy
+
+The carry is a pytree; sequences are processed by scanning `step` over
+grouped measurements. IMU initialization and measure-group assembly are
+host-side (see malio_tpu.io / malio_tpu.runner).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import state as st
+from . import propagate as prop
+from . import preprocess as pre
+from . import measurement as meas
+from . import uncertainty as unc
+from .filter import esekf
+from .geometry import so3
+from .map import voxel_hash as vh
+
+
+class LioCarry(NamedTuple):
+    x: st.State
+    P: jnp.ndarray  # (n, n)
+    Q: jnp.ndarray  # (12, 12) process noise (from IMU init)
+    hist: prop.History
+    map: vh.VoxelHashMap
+    last_in: jnp.ndarray  # (6,) [gyro, acc]
+    last_imu: jnp.ndarray  # (7,) raw previous sample [t, gyro, acc]
+    last_end_t: jnp.ndarray  # () relative seconds
+    mean_acc_norm: jnp.ndarray  # ()
+    box_min: jnp.ndarray  # (3,)
+    box_max: jnp.ndarray  # (3,)
+    box_init: jnp.ndarray  # () bool
+    map_init: jnp.ndarray  # () bool
+    step_count: jnp.ndarray  # () int32
+
+
+class StepOutput(NamedTuple):
+    pos: jnp.ndarray  # (3,)
+    quat: jnp.ndarray  # (4,) [w,x,y,z]
+    end_time: jnp.ndarray  # () group end (relative)
+    iterations: jnp.ndarray
+    n_effective: jnp.ndarray
+    map_size: jnp.ndarray
+    n_insert: jnp.ndarray  # points passing the covariance gate
+    med_normal_y: jnp.ndarray  # median stored covariance this round
+
+
+def init_carry(cfg, x0: st.State, P0, Q, dtype=jnp.float32) -> LioCarry:
+    return LioCarry(
+        x=x0,
+        P=P0.astype(dtype),
+        Q=Q.astype(dtype),
+        hist=prop.empty_history(cfg.traj_capacity, dtype),
+        map=vh.create(cfg.map_capacity, cfg.filter_size_map, dtype),
+        last_in=jnp.zeros(6, dtype),
+        last_imu=jnp.zeros(7, dtype),
+        last_end_t=jnp.asarray(0.0, dtype),
+        mean_acc_norm=jnp.asarray(cfg.gravity, dtype),
+        box_min=jnp.zeros(3, dtype),
+        box_max=jnp.zeros(3, dtype),
+        box_init=jnp.asarray(False),
+        map_init=jnp.asarray(False),
+        step_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _fov_segment(cfg, box_min, box_max, box_init, pos_lid):
+    """Sliding local-map box update (lasermap_fov_segment,
+    laserMapping.cpp:171-224). Returns (box_min, box_max, box_init, moved)."""
+    dtype = pos_lid.dtype
+    half = cfg.cube_len / 2.0
+    fresh_min = pos_lid - half
+    fresh_max = pos_lid + half
+    thresh = cfg.mov_threshold * cfg.det_range
+
+    d_lo = jnp.abs(pos_lid - box_min)
+    d_hi = jnp.abs(pos_lid - box_max)
+    near_lo = d_lo <= thresh
+    near_hi = d_hi <= thresh
+    need_move = jnp.any(near_lo | near_hi)
+    mov_dist = jnp.asarray(
+        max(
+            (cfg.cube_len - 2.0 * cfg.mov_threshold * cfg.det_range) * 0.5 * 0.9,
+            cfg.det_range * (cfg.mov_threshold - 1.0),
+        ),
+        dtype,
+    )
+    shift = jnp.where(near_lo, -mov_dist, jnp.where(near_hi, mov_dist, 0.0))
+    moved_min = box_min + shift
+    moved_max = box_max + shift
+
+    new_min = jnp.where(box_init, jnp.where(need_move, moved_min, box_min), fresh_min)
+    new_max = jnp.where(box_init, jnp.where(need_move, moved_max, box_max), fresh_max)
+    moved = box_init & need_move
+    return new_min, new_max, jnp.asarray(True), moved
+
+
+def _points_to_world(x: st.State, pts, pt_lidar, base, tc_q, tc_t):
+    """pointBodyToWorld with temporal compensation (laserMapping.cpp:134-147)."""
+    eq = x.ext_r[pt_lidar]
+    et = x.ext_t[pt_lidar]
+    tcq = tc_q[pt_lidar]
+    tct = tc_t[pt_lidar]
+    in_imu = so3.quat_rotate(tcq, so3.quat_rotate(eq, pts) + et) + tct
+    return so3.quat_rotate(x.rot[None], in_imu) + x.pos[None]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
+    L = cfg.num_lidars
+    dtype = carry.P.dtype
+    M_DS = cfg.max_points_per_scan
+    M = L * M_DS
+
+    # ---- undistortion + propagation ----
+    und = prop.undistort(
+        cfg,
+        carry.x,
+        carry.P,
+        carry.hist,
+        group,
+        carry.Q,
+        carry.last_in,
+        carry.last_imu,
+        carry.last_end_t,
+        carry.mean_acc_norm,
+    )
+
+    # ---- per-LiDAR voxel downsample (laserMapping.cpp:968-983) ----
+    def ds_one(pts, epoch, mask):
+        out, aux, valid = pre.voxel_downsample(
+            pts, epoch[:, None].astype(dtype), mask, cfg.filter_size_surf, M_DS
+        )
+        return out, jnp.round(aux[:, 0]).astype(jnp.int32), valid
+
+    ds_pts, ds_epoch, ds_mask = jax.vmap(ds_one)(
+        und.pts_deskewed, und.pt_epoch, group.pts_mask
+    )
+    flat_pts = ds_pts.reshape(M, 3)
+    flat_epoch = ds_epoch.reshape(M)
+    flat_mask = ds_mask.reshape(M)
+    flat_lidar = jnp.repeat(jnp.arange(L, dtype=jnp.int32), M_DS)
+
+    # ---- local map box + eviction ----
+    pos_lid = und.x.pos + so3.quat_rotate(und.x.rot, und.x.ext_t[und.base])
+    box_min, box_max, box_init, moved = _fov_segment(
+        cfg, carry.box_min, carry.box_max, carry.box_init, pos_lid
+    )
+    map_state = jax.lax.cond(
+        moved,
+        lambda m: vh.evict_outside(m, box_min, box_max),
+        lambda m: m,
+        carry.map,
+    )
+
+    # ---- per-LiDAR/epoch pose uncertainty composition
+    # (laserMapping.cpp:1027-1048) ----
+    def ext_pose(l):
+        return unc.Pose(
+            q=und.x.ext_r[l], t=und.x.ext_t[l], cov=prop._ext_cov6(und.P, l, L)
+        )
+
+    def compose(l, k):
+        u = unc.Pose(und.unc_q[l, k], und.unc_t[l, k], und.unc_cov[l, k])
+        e = ext_pose(l)
+        b = ext_pose(und.base)
+        a = unc.compound_pose(e, u)
+        t = unc.compound_pose(
+            unc.Pose(und.tc_q[l], und.tc_t[l], und.tc_cov[l]), a
+        )
+        c = unc.compound_inv_pose(b, t)
+        is_base = l == und.base
+        return jax.tree_util.tree_map(
+            lambda comp, raw: jnp.where(is_base, raw, comp), c, u
+        )
+
+    E = cfg.epoch_capacity
+    unc_comp = jax.vmap(
+        jax.vmap(compose, in_axes=(None, 0)), in_axes=(0, None)
+    )(jnp.arange(L), jnp.arange(E))
+
+    scan_data = meas.ScanData(
+        pts_body=flat_pts,
+        pt_lidar=flat_lidar,
+        pt_epoch=flat_epoch,
+        pt_mask=flat_mask,
+        tc_q=und.tc_q,
+        tc_t=und.tc_t,
+        base=und.base,
+        unc_q=unc_comp.q,
+        unc_t=unc_comp.t,
+        unc_cov=unc_comp.cov,
+        epoch_count=und.epoch_count,
+    )
+
+    # ---- iterated update (only once the map exists) ----
+    h_share = meas.make_h_share(cfg, map_state, scan_data)
+    cache0 = meas.init_cache(M, dtype)
+
+    def do_update(_):
+        return esekf.update_iterated(
+            und.x,
+            und.P,
+            h_share,
+            cache0,
+            max_iter=cfg.max_iteration,
+            limit=cfg.converge_limit,
+        )
+
+    def skip_update(_):
+        return esekf.IEKFResult(
+            x=und.x,
+            P=und.P,
+            iterations=jnp.asarray(0, jnp.int32),
+            valid=jnp.asarray(False),
+            cache=cache0,
+        )
+
+    upd = jax.lax.cond(carry.map_init, do_update, skip_update, None)
+
+    # ---- map insertion (map_incremental, laserMapping.cpp:398-446) ----
+    # first round: seed covariance 0.001 (laserMapping.cpp:1004)
+    normal_y = jnp.where(
+        carry.map_init, upd.cache.normal_y, jnp.full((M,), 0.001, dtype)
+    )
+    world_pts = _points_to_world(
+        upd.x, flat_pts, flat_lidar, und.base, und.tc_q, und.tc_t
+    )
+    ins_mask = flat_mask & (normal_y <= cfg.cov_threshold)
+    map_state = vh.insert(map_state, world_pts, normal_y, ins_mask)
+
+    new_carry = LioCarry(
+        x=upd.x,
+        P=upd.P,
+        Q=carry.Q,
+        hist=und.hist,
+        map=map_state,
+        last_in=und.last_in,
+        last_imu=und.last_imu,
+        last_end_t=jnp.max(group.end_t),
+        mean_acc_norm=carry.mean_acc_norm,
+        box_min=box_min,
+        box_max=box_max,
+        box_init=box_init,
+        map_init=jnp.asarray(True),
+        step_count=carry.step_count + 1,
+    )
+    out = StepOutput(
+        pos=upd.x.pos,
+        quat=upd.x.rot,
+        end_time=jnp.max(group.end_t),
+        iterations=upd.iterations,
+        n_effective=jnp.sum(upd.cache.selected),
+        map_size=vh.size(map_state),
+        n_insert=jnp.sum(ins_mask),
+        med_normal_y=jnp.nanmedian(jnp.where(flat_mask, normal_y, jnp.nan)),
+    )
+    return new_carry, out

@@ -1,0 +1,174 @@
+"""Host driver: IMU initialization + sequence replay over the jitted step.
+
+Mirrors the reference's main() flow (laserMapping.cpp:831-1082): the first
+round is skipped, IMU statistics accumulate until >10 samples
+(IMU_Processing.hpp:147-208), then the filter state, covariance and process
+noise are seeded and the jitted per-round step takes over.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import state as st
+from . import pipeline
+from . import propagate as prop
+from .filter import dynamics
+
+
+@dataclasses.dataclass
+class ImuInitializer:
+    """Running mean/cov of the first IMU samples (IMU_Processing.hpp:147-208)."""
+
+    n: int = 0
+    mean_acc: np.ndarray = None
+    mean_gyr: np.ndarray = None
+    cov_acc: np.ndarray = None
+    cov_gyr: np.ndarray = None
+
+    def __post_init__(self):
+        self.mean_acc = np.zeros(3)
+        self.mean_gyr = np.zeros(3)
+        self.cov_acc = np.full(3, 0.1)
+        self.cov_gyr = np.full(3, 0.1)
+
+    def update(self, imu, mask):
+        for row, m in zip(imu, mask):
+            if not m:
+                continue
+            gyr, acc = row[1:4], row[4:7]
+            if self.n == 0:
+                self.mean_acc = acc.copy()
+                self.mean_gyr = gyr.copy()
+                self.n = 1
+            N = self.n
+            self.mean_acc += (acc - self.mean_acc) / N
+            self.mean_gyr += (gyr - self.mean_gyr) / N
+            self.cov_acc = self.cov_acc * (N - 1.0) / N + (acc - self.mean_acc) ** 2 * (
+                N - 1.0
+            ) / (N * N)
+            self.cov_gyr = self.cov_gyr * (N - 1.0) / N + (gyr - self.mean_gyr) ** 2 * (
+                N - 1.0
+            ) / (N * N)
+            self.n += 1
+
+    @property
+    def done(self):
+        return self.n > 10  # MAX_INI_COUNT, IMU_Processing.hpp:32
+
+
+def initial_state(cfg, init: ImuInitializer, dtype=jnp.float32) -> st.State:
+    L = cfg.num_lidars
+    x = st.identity_state(L, dtype)
+    ext_t = jnp.asarray(np.asarray(cfg.extrinsic_T, np.float64).reshape(L, 3), dtype)
+    ext_q = jnp.asarray(np.asarray(cfg.extrinsic_R, np.float64).reshape(L, 4), dtype)
+    ext_q = ext_q / jnp.linalg.norm(ext_q, axis=-1, keepdims=True)
+    grav = -init.mean_acc / np.linalg.norm(init.mean_acc) * st.S2_LENGTH
+    return st.State(
+        pos=x.pos,
+        rot=x.rot,
+        ext_r=ext_q,
+        ext_t=ext_t,
+        vel=x.vel,
+        bg=jnp.asarray(init.mean_gyr, dtype),
+        ba=x.ba,
+        grav=jnp.asarray(grav, dtype),
+    )
+
+
+def initial_covariance(cfg, dtype=jnp.float32):
+    """P init (IMU_Processing.hpp:187-199): pose 1, ext+vel 1e-6, bg 1e-4,
+    ba 1e-3, grav 1e-5."""
+    n = st.dof(cfg.num_lidars)
+    d = np.ones(n)
+    d[6 : n - 8] = 1e-6
+    d[n - 8 : n - 5] = 1e-4
+    d[n - 5 : n - 2] = 1e-3
+    d[n - 2 :] = 1e-5
+    return jnp.asarray(np.diag(d), dtype)
+
+
+def run_sequence(cfg, groups: Iterable[dict], dtype=jnp.float32, callback=None):
+    """Replay measure groups through the pipeline. Returns a dict with the
+    trajectory (t, pos, quat) and per-round diagnostics."""
+    init = ImuInitializer()
+    carry = None
+    traj_t, traj_p, traj_q = [], [], []
+    iters, n_eff, map_sizes = [], [], []
+    first = True
+    last_imu_seed = np.zeros(7)
+
+    def _track_last_imu(g):
+        m = np.asarray(g["imu_mask"])
+        if m.any():
+            return np.asarray(g["imu"], np.float64)[m.nonzero()[0][-1]]
+        return last_imu_seed
+
+    for g in groups:
+        prev_last_imu = last_imu_seed
+        last_imu_seed = _track_last_imu(g)
+        if first:
+            # flg_first_scan shortcut (laserMapping.cpp:945-951): the first
+            # round only stamps first_lidar_time; its IMU still feeds init
+            init.update(np.asarray(g["imu"], np.float64), g["imu_mask"])
+            first = False
+            continue
+        if carry is None:
+            if not init.done:
+                init.update(np.asarray(g["imu"], np.float64), g["imu_mask"])
+                continue
+            x0 = initial_state(cfg, init, dtype)
+            P0 = initial_covariance(cfg, dtype)
+            Q = dynamics.process_noise_matrix(0, 0, 0, 0, jnp.float64)
+            Q = jnp.asarray(
+                np.diag(
+                    np.concatenate(
+                        [
+                            init.cov_gyr,
+                            init.cov_acc,
+                            np.full(3, cfg.b_gyr_cov),
+                            np.full(3, cfg.b_acc_cov),
+                        ]
+                    )
+                ),
+                dtype,
+            )
+            carry = pipeline.init_carry(cfg, x0, P0, Q, dtype)
+            carry = carry._replace(
+                mean_acc_norm=jnp.asarray(np.linalg.norm(init.mean_acc), dtype),
+                last_imu=jnp.asarray(prev_last_imu, dtype),
+            )
+
+        group = prop.MeasureGroup(
+            pts=jnp.asarray(g["pts"], dtype),
+            pts_mask=jnp.asarray(g["pts_mask"]),
+            beg_t=jnp.asarray(g["beg_t"], dtype),
+            end_t=jnp.asarray(g["end_t"], dtype),
+            imu=jnp.asarray(g["imu"], dtype),
+            imu_mask=jnp.asarray(g["imu_mask"]),
+            imu_cont=jnp.asarray(g["imu_cont"], dtype),
+            imu_cont_mask=jnp.asarray(g["imu_cont_mask"]),
+        )
+        carry, out = pipeline.step(cfg, carry, group)
+        traj_t.append(float(out.end_time))
+        traj_p.append(np.asarray(out.pos))
+        traj_q.append(np.asarray(out.quat))
+        iters.append(int(out.iterations))
+        n_eff.append(int(out.n_effective))
+        map_sizes.append(int(out.map_size))
+        if callback is not None:
+            callback(carry, out)
+
+    return dict(
+        t=np.asarray(traj_t),
+        pos=np.asarray(traj_p),
+        quat=np.asarray(traj_q),
+        iterations=np.asarray(iters),
+        n_effective=np.asarray(n_eff),
+        map_size=np.asarray(map_sizes),
+        carry=carry,
+    )

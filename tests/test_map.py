@@ -1,0 +1,124 @@
+import numpy as np
+import jax.numpy as jnp
+
+from malio_tpu.map import voxel_hash as vh
+
+rng = np.random.default_rng(3)
+
+
+def make_map(cap=1 << 14, voxel=0.5):
+    return vh.create(cap, voxel, jnp.float64)
+
+
+def brute_knn(pts_map, q, k=5):
+    d2 = np.sum((pts_map - q[None]) ** 2, axis=-1)
+    idx = np.argsort(d2)[:k]
+    return idx, d2[idx]
+
+
+def test_insert_and_lookup():
+    m = make_map()
+    pts = jnp.asarray(rng.uniform(-20, 20, size=(500, 3)))
+    covs = jnp.full((500,), 0.01)
+    m = vh.insert(m, pts, covs, jnp.ones(500, bool))
+    keys = vh.voxel_key(m, pts)
+    slot, found = vh.lookup(m, keys)
+    assert bool(jnp.all(found))
+    # each stored point must share the voxel of its key
+    stored = m.points[slot]
+    np.testing.assert_array_equal(np.asarray(vh.voxel_key(m, stored)), np.asarray(keys))
+
+
+def test_insert_prefers_lowest_cov():
+    m = make_map()
+    p = jnp.asarray([[1.0, 1.0, 1.0]])
+    # same voxel, three candidates with different covs in one batch + updates
+    pts = jnp.asarray([[1.0, 1.0, 1.0], [1.1, 1.1, 1.1], [1.05, 1.0, 1.2]])
+    covs = jnp.asarray([0.5, 0.1, 0.3])
+    m = vh.insert(m, pts, covs, jnp.ones(3, bool))
+    assert int(vh.size(m)) == 1
+    slot, found = vh.lookup(m, vh.voxel_key(m, p))
+    assert bool(found[0])
+    assert float(m.covs[slot[0]]) == 0.1
+    np.testing.assert_allclose(m.points[slot[0]], [1.1, 1.1, 1.1])
+    # a later lower-cov point replaces it
+    m = vh.insert(m, jnp.asarray([[1.2, 1.2, 1.2]]), jnp.asarray([0.05]), jnp.ones(1, bool))
+    slot, _ = vh.lookup(m, vh.voxel_key(m, p))
+    assert float(m.covs[slot[0]]) == 0.05
+    # a higher-cov point does not
+    m = vh.insert(m, jnp.asarray([[1.3, 1.3, 1.3]]), jnp.asarray([0.9]), jnp.ones(1, bool))
+    slot, _ = vh.lookup(m, vh.voxel_key(m, p))
+    assert float(m.covs[slot[0]]) == 0.05
+
+
+def test_masked_points_not_inserted():
+    m = make_map()
+    pts = jnp.asarray(rng.uniform(-5, 5, size=(10, 3)))
+    mask = jnp.asarray([True] * 5 + [False] * 5)
+    m = vh.insert(m, pts, jnp.full((10,), 0.1), mask)
+    assert int(vh.size(m)) <= 5
+
+
+def test_knn_matches_bruteforce():
+    m = make_map()
+    # a dense-ish surface patch: grid on a plane with jitter, ~1 pt/voxel
+    g = np.stack(np.meshgrid(np.arange(-8, 8), np.arange(-8, 8), indexing="ij"), -1)
+    pts = np.concatenate([g.reshape(-1, 2) * 0.5, np.zeros((256, 1))], axis=1)
+    pts += rng.normal(size=pts.shape) * 0.05
+    pts = jnp.asarray(pts)
+    m = vh.insert(m, pts, jnp.full((256,), 0.1), jnp.ones(256, bool))
+    stored = np.asarray(m.points[np.asarray(m.occupied)])
+
+    queries = jnp.asarray(rng.uniform(-3, 3, size=(50, 2)))
+    queries = jnp.concatenate([queries, jnp.zeros((50, 1))], axis=1)
+    nn_pts, nn_covs, nn_d2, nn_cnt = vh.knn(m, queries, k=5, radius=1)
+    for i in range(50):
+        idx, d2 = brute_knn(stored, np.asarray(queries[i]))
+        # brute force over stored points; the voxel search is limited to the
+        # 27-neighborhood so only compare when all brute-force NN are within
+        # the search region (true for this dense patch)
+        if np.sqrt(d2[-1]) < 0.5:  # all within one voxel radius
+            np.testing.assert_allclose(
+                np.sort(np.asarray(nn_d2[i])), np.sort(d2), atol=1e-9
+            )
+    assert bool(jnp.all(nn_cnt == 5))
+
+
+def test_knn_sparse_returns_count():
+    m = make_map()
+    # two points in *different* voxels (same-voxel points dedup by design)
+    pts = jnp.asarray([[0.1, 0.1, 0.1], [0.6, 0.1, 0.1]])
+    m = vh.insert(m, pts, jnp.full((2,), 0.1), jnp.ones(2, bool))
+    _, _, d2, cnt = vh.knn(m, jnp.asarray([[0.2, 0.1, 0.1]]), k=5, radius=1)
+    assert int(cnt[0]) == 2
+
+
+def test_evict_outside_box():
+    m = make_map()
+    pts = jnp.asarray(rng.uniform(-10, 10, size=(300, 3)))
+    m = vh.insert(m, pts, jnp.full((300,), 0.1), jnp.ones(300, bool))
+    n0 = int(vh.size(m))
+    m = vh.evict_outside(m, jnp.asarray([-5.0, -5.0, -5.0]), jnp.asarray([5.0, 5.0, 5.0]))
+    stored = np.asarray(m.points[np.asarray(m.occupied)])
+    assert stored.size == 0 or np.all(np.abs(stored) <= 5.0)
+    assert int(vh.size(m)) < n0
+    # lookups after eviction still resolve surviving keys (deletion-safe probing)
+    keys = vh.voxel_key(m, jnp.asarray(stored)) if stored.size else None
+    if keys is not None:
+        _, found = vh.lookup(m, keys)
+        assert bool(jnp.all(found))
+    # inserting into evicted space works again
+    m2 = vh.insert(m, jnp.asarray([[9.0, 9.0, 9.0]]), jnp.asarray([0.2]), jnp.ones(1, bool))
+    _, found = vh.lookup(m2, vh.voxel_key(m2, jnp.asarray([[9.0, 9.0, 9.0]])))
+    assert bool(found[0])
+
+
+def test_reinsert_after_evict_no_duplicates():
+    m = make_map()
+    p = jnp.asarray([[2.0, 2.0, 2.0]])
+    m = vh.insert(m, p, jnp.asarray([0.1]), jnp.ones(1, bool))
+    m = vh.evict_outside(m, jnp.asarray([10.0, 10, 10]), jnp.asarray([20.0, 20, 20]))
+    assert int(vh.size(m)) == 0
+    m = vh.insert(m, p, jnp.asarray([0.2]), jnp.ones(1, bool))
+    m = vh.insert(m, p, jnp.asarray([0.3]), jnp.ones(1, bool))
+    assert int(vh.size(m)) == 1
