@@ -34,14 +34,20 @@ import jax.numpy as jnp
 _P1 = jnp.int32(73856093)
 _P2 = jnp.int32(19349663)
 _P3 = jnp.int32(83492791)
+# independent primes for the 32-bit fingerprint fast path
+_F1 = jnp.int32(1540483477)
+_F2 = jnp.int32(1274126177)
+_F3 = jnp.int32(868864169)
 
 MAX_PROBE = 8
+KNN_PROBE = 4  # query-side probe depth; entries past it are simply missed
 INSERT_ROUNDS = 4
 NUM_MATCH_POINTS = 5  # common_lib.h:22
 
 
 class VoxelHashMap(NamedTuple):
     keys: jnp.ndarray  # (C, 3) int32 voxel coords
+    fp: jnp.ndarray  # (C,) int32 key fingerprint; 0 = empty slot
     occupied: jnp.ndarray  # (C,) bool
     points: jnp.ndarray  # (C, 3) point stored in the voxel
     covs: jnp.ndarray  # (C,) stored covariance (normal_y)
@@ -54,6 +60,7 @@ def create(capacity: int, voxel_size: float, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return VoxelHashMap(
         keys=jnp.zeros((capacity, 3), jnp.int32),
+        fp=jnp.zeros((capacity,), jnp.int32),
         occupied=jnp.zeros((capacity,), bool),
         points=jnp.zeros((capacity, 3), dtype),
         covs=jnp.full((capacity,), jnp.inf, dtype),
@@ -70,10 +77,21 @@ def _hash(keys, capacity):
     return h & jnp.int32(capacity - 1)
 
 
-def _probe_slots(keys, capacity):
-    """(..., MAX_PROBE) candidate slot indices for each key."""
+def _fingerprint(keys):
+    """Nonzero 32-bit fingerprint of a voxel key (0 is reserved for empty).
+
+    The k-NN fast path compares fingerprints instead of full keys — one
+    i32 gather per probe instead of 3 i32 + occupancy. A collision
+    (~2^-32) momentarily offers a far-away candidate point, which the
+    distance top-k then discards."""
+    f = (keys[..., 0] * _F1) ^ (keys[..., 1] * _F2) ^ (keys[..., 2] * _F3)
+    return jnp.where(f == 0, jnp.int32(1), f)
+
+
+def _probe_slots(keys, capacity, n_probe=MAX_PROBE):
+    """(..., n_probe) candidate slot indices for each key."""
     h = _hash(keys, capacity)
-    offs = jnp.arange(MAX_PROBE, dtype=jnp.int32)
+    offs = jnp.arange(n_probe, dtype=jnp.int32)
     return (h[..., None] + offs) & jnp.int32(capacity - 1)
 
 
@@ -156,6 +174,11 @@ def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
             .at[w_slot]
             .set(keys)
         )[:-1]
+        new_fp = (
+            jnp.concatenate([m.fp, jnp.zeros((1,), jnp.int32)])
+            .at[w_slot]
+            .set(_fingerprint(keys))
+        )[:-1]
         new_points = (
             jnp.concatenate([m.points, jnp.zeros((1, 3), m.points.dtype)])
             .at[w_slot]
@@ -171,7 +194,9 @@ def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
             .at[w_slot]
             .set(True)
         )[:-1]
-        m = m._replace(keys=new_keys, points=new_points, covs=new_covs, occupied=new_occ)
+        m = m._replace(
+            keys=new_keys, fp=new_fp, points=new_points, covs=new_covs, occupied=new_occ
+        )
         pending = pending & ~winner
         return m, pending
 
@@ -185,7 +210,9 @@ def evict_outside(m: VoxelHashMap, box_min, box_max) -> VoxelHashMap:
     inside = jnp.all((m.points >= box_min) & (m.points <= box_max), axis=-1)
     keep = m.occupied & inside
     return m._replace(
-        occupied=keep, covs=jnp.where(keep, m.covs, jnp.inf)
+        occupied=keep,
+        covs=jnp.where(keep, m.covs, jnp.inf),
+        fp=jnp.where(keep, m.fp, jnp.int32(0)),
     )
 
 
@@ -206,31 +233,35 @@ def knn(m: VoxelHashMap, queries, k: int = NUM_MATCH_POINTS, radius: int = 1):
     laserMapping.cpp:587).
     """
     C = m.keys.shape[0]
+    Q = queries.shape[0]
     d = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
     offs = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), axis=-1).reshape(-1, 3)
     V = offs.shape[0]
 
     qkeys = voxel_key(m, queries)  # (Q, 3)
     nkeys = qkeys[:, None, :] + offs[None, :, :]  # (Q, V, 3)
-    slots = _probe_slots(nkeys, C)  # (Q, V, P)
-    cand_keys = m.keys[slots]
-    cand_occ = m.occupied[slots]
-    match = cand_occ & jnp.all(cand_keys == nkeys[..., None, :], axis=-1)  # (Q,V,P)
-    cand_pts = m.points[slots]  # (Q, V, P, 3)
-    cand_cov = m.covs[slots]
+    slots = _probe_slots(nkeys, C, KNN_PROBE)  # (Q, V, P)
+    # fast path: probe on the 1-word fingerprint only (empty slots are 0,
+    # so no separate occupancy gather); then gather point data for the
+    # single matching slot per neighbor cell
+    want = _fingerprint(nkeys)  # (Q, V)
+    cand_fp = m.fp[slots]  # (Q, V, P) — the only per-probe gather
+    match = cand_fp == want[..., None]
+    found = jnp.any(match, axis=-1)  # (Q, V)
+    first = jnp.argmax(match, axis=-1)
+    cell_slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
 
-    flat_match = match.reshape(queries.shape[0], V * MAX_PROBE)
-    flat_pts = cand_pts.reshape(queries.shape[0], V * MAX_PROBE, 3)
-    flat_cov = cand_cov.reshape(queries.shape[0], V * MAX_PROBE)
+    cand_pts = m.points[cell_slot]  # (Q, V, 3)
+    cand_cov = m.covs[cell_slot]  # (Q, V)
 
-    diff = flat_pts - queries[:, None, :]
+    diff = cand_pts - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
-    d2 = jnp.where(flat_match, d2, big)
+    d2 = jnp.where(found, d2, big)
 
     neg_top, idx = jax.lax.top_k(-d2, k)
     nn_d2 = -neg_top
-    nn_pts = jnp.take_along_axis(flat_pts, idx[..., None], axis=1)
-    nn_covs = jnp.take_along_axis(flat_cov, idx, axis=1)
+    nn_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
+    nn_covs = jnp.take_along_axis(cand_cov, idx, axis=1)
     nn_cnt = jnp.sum(nn_d2 < big, axis=-1)
     return nn_pts, nn_covs, nn_d2, nn_cnt

@@ -41,16 +41,27 @@ class ScanData(NamedTuple):
 
 
 class HShareCache(NamedTuple):
-    nn_pts: jnp.ndarray  # (M, 5, 3)
-    nn_covs: jnp.ndarray  # (M, 5)
-    selected: jnp.ndarray  # (M,) bool
+    """Per-round state that survives IEKF iterations. Plane parameters are
+    cached at search time because they depend only on the map neighbors
+    (the reference re-fits them every iteration with identical inputs —
+    hoisting is value-identical, laserMapping.cpp:596)."""
+
+    normal: jnp.ndarray  # (M, 3) plane normals (world frame)
+    d: jnp.ndarray  # (M,) plane offsets
+    plane_cov: jnp.ndarray  # (M,) plane quality values
+    plane_valid: jnp.ndarray  # (M,) bool
+    searched: jnp.ndarray  # (M,) bool: NN pass result
+    selected: jnp.ndarray  # (M,) bool: final effective mask
     normal_y: jnp.ndarray  # (M,) per-point covariance for map insertion
 
 
 def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
     return HShareCache(
-        nn_pts=jnp.zeros((M, NUM_MATCH, 3), dtype),
-        nn_covs=jnp.zeros((M, NUM_MATCH), dtype),
+        normal=jnp.zeros((M, 3), dtype),
+        d=jnp.zeros((M,), dtype),
+        plane_cov=jnp.zeros((M,), dtype),
+        plane_valid=jnp.zeros((M,), bool),
+        searched=jnp.zeros((M,), bool),
         selected=jnp.zeros((M,), bool),
         normal_y=jnp.zeros((M,), dtype),
     )
@@ -65,8 +76,17 @@ def _esti_plane(nn_pts, nn_covs, plane_th, cov_threshold):
     A = nn_pts  # (5, 3)
     G = A.T @ A
     rhs = -jnp.sum(A, axis=0)
-    # 3x3 solve; regularize minimally to stay finite on degenerate fits
-    n = jnp.linalg.solve(G + 1e-12 * jnp.eye(3, dtype=A.dtype), rhs)
+    # closed-form 3x3 solve (Cramer) — batched tiny LU is slow on TPU;
+    # regularize minimally to stay finite on degenerate fits
+    G = G + 1e-12 * jnp.eye(3, dtype=A.dtype)
+    c0 = jnp.cross(G[1], G[2])
+    c1 = jnp.cross(G[2], G[0])
+    c2 = jnp.cross(G[0], G[1])
+    det = jnp.dot(G[0], c0)
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    n = inv_det * jnp.stack(
+        [jnp.dot(c0, rhs), jnp.dot(c1, rhs), jnp.dot(c2, rhs)]
+    )
     norm = jnp.linalg.norm(n)
     safe = jnp.maximum(norm, 1e-12)
     normal = n / safe
@@ -84,17 +104,38 @@ def _esti_plane(nn_pts, nn_covs, plane_th, cov_threshold):
 
 
 def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
-    """Build the HShareFn closure for one fusion round."""
+    """Build the HShareFn closure for one fusion round.
+
+    Round-constant quantities (per-point uncertainty traces, which depend
+    only on the deskewed points and the epoch chains) are precomputed here,
+    outside the IEKF loop."""
     L = data.tc_q.shape[0]
     act = 6 * (L + 1)
     dtype = data.pts_body.dtype
     M = data.pts_body.shape[0]
+    p = data.pts_body
+    pl = data.pt_lidar
+
+    # --- hoisted: per-point measurement uncertainty (laserMapping.cpp:697,
+    # 740) — inputs never change across iterations ---
+    cnt = data.epoch_count[pl]
+    e_sel = jnp.where(data.pt_epoch >= cnt, cnt - 2, data.pt_epoch)
+    e_sel = jnp.clip(e_sel, 0, data.unc_q.shape[1] - 1)
+    pose_e = unc.Pose(
+        q=data.unc_q[pl, e_sel], t=data.unc_t[pl, e_sel], cov=data.unc_cov[pl, e_sel]
+    )
+    r_trace = unc.point_uncertainty_trace(p, pose_e)  # (M,)
+    e_un = jnp.where(data.pt_epoch >= cnt - 1, cnt - 2, data.pt_epoch)
+    e_un = jnp.clip(e_un, 0, data.unc_q.shape[1] - 1)
+    pose_u = unc.Pose(
+        q=data.unc_q[pl, e_un], t=data.unc_t[pl, e_un], cov=data.unc_cov[pl, e_un]
+    )
+    r_trace_un = unc.point_uncertainty_trace(p, pose_u)
 
     def h_share(x: st.State, search: jnp.ndarray, cache: HShareCache):
         base = data.base
         bq = x.ext_r[base]
         bt = x.ext_t[base]
-        pl = data.pt_lidar
         is_base = pl == base
 
         ext_q_p = x.ext_r[pl]
@@ -102,7 +143,6 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
         tcq = data.tc_q[pl]
         tct = data.tc_t[pl]
 
-        p = data.pts_body
         # non-base points into the base LiDAR frame via temporal comp
         # (laserMapping.cpp:570-572)
         p_nb = so3.quat_rotate_inv(
@@ -115,27 +155,42 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
         p_imu = so3.quat_rotate(bq[None], p_base) + bt[None]
         p_world = so3.quat_rotate(x.rot[None], p_imu) + x.pos[None]
 
-        # --- correspondence search (gated like dyn_share.converge) ---
+        # --- correspondence search + plane fit (gated like
+        # dyn_share.converge; planes depend only on the neighbors, so they
+        # are cached with the search) ---
         def do_search(_):
             nn_pts, nn_covs, nn_d2, nn_cnt = vh.knn(
                 map_state, p_world, k=NUM_MATCH, radius=cfg.knn_radius
             )
-            sel = (
+            searched = (
                 data.pt_mask
                 & (nn_cnt >= NUM_MATCH)
                 & (nn_d2[:, NUM_MATCH - 1] <= NN_REJECT_D2)
             )
-            return nn_pts, nn_covs, sel
+            normal, d, plane_valid, plane_cov = jax.vmap(
+                _esti_plane, in_axes=(0, 0, None, None)
+            )(
+                nn_pts,
+                nn_covs,
+                jnp.asarray(cfg.plane_th, dtype),
+                jnp.asarray(cfg.cov_threshold, dtype),
+            )
+            return normal, d, plane_valid, plane_cov, searched, searched
 
         def reuse(_):
-            return cache.nn_pts, cache.nn_covs, cache.selected
+            return (
+                cache.normal,
+                cache.d,
+                cache.plane_valid,
+                cache.plane_cov,
+                cache.searched,
+                cache.selected,
+            )
 
-        nn_pts, nn_covs, selected = jax.lax.cond(search, do_search, reuse, None)
-
-        # --- plane fit + quality gate ---
-        normal, d, plane_valid, plane_cov = jax.vmap(
-            _esti_plane, in_axes=(0, 0, None, None)
-        )(nn_pts, nn_covs, jnp.asarray(cfg.plane_th, dtype), jnp.asarray(cfg.cov_threshold, dtype))
+        normal, d, plane_valid, plane_cov, searched, prev_sel = jax.lax.cond(
+            search, do_search, reuse, None
+        )
+        selected = prev_sel
         pd2 = jnp.sum(normal * p_world, axis=-1) + d
         r_base = jnp.linalg.norm(p_base, axis=-1)
         score = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.maximum(r_base, 1e-9))
@@ -183,22 +238,7 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
             H_ext_t = jnp.zeros_like(H_ext_t)
         H = jnp.concatenate([normal, A_col, H_ext_r, H_ext_t], axis=-1)  # (M, act)
 
-        # --- per-point measurement noise (evalPointUncertainty) ---
-        cnt = data.epoch_count[pl]
-        e_sel = jnp.where(data.pt_epoch >= cnt, cnt - 2, data.pt_epoch)
-        e_sel = jnp.clip(e_sel, 0, data.unc_q.shape[1] - 1)
-        pose_e = unc.Pose(
-            q=data.unc_q[pl, e_sel], t=data.unc_t[pl, e_sel], cov=data.unc_cov[pl, e_sel]
-        )
-        r_trace = unc.point_uncertainty_trace(p, pose_e)  # raw trace, (M,)
-
-        # non-selected points use the harder clamp (laserMapping.cpp:737-739)
-        e_un = jnp.where(data.pt_epoch >= cnt - 1, cnt - 2, data.pt_epoch)
-        e_un = jnp.clip(e_un, 0, data.unc_q.shape[1] - 1)
-        pose_u = unc.Pose(
-            q=data.unc_q[pl, e_un], t=data.unc_t[pl, e_un], cov=data.unc_cov[pl, e_un]
-        )
-        r_trace_un = unc.point_uncertainty_trace(p, pose_u)
+        # --- per-point measurement noise (hoisted traces) ---
         normal_y = jnp.where(selected, r_trace, r_trace_un)
 
         # --- point weighting law (laserMapping.cpp:710-722) ---
@@ -243,7 +283,13 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
         hw = hw * w_loc
 
         new_cache = HShareCache(
-            nn_pts=nn_pts, nn_covs=nn_covs, selected=selected, normal_y=normal_y
+            normal=normal,
+            d=d,
+            plane_cov=plane_cov,
+            plane_valid=plane_valid,
+            searched=searched,
+            selected=selected,
+            normal_y=normal_y,
         )
         res = HShareResult(valid=valid, h=hw, H=Hw, R=R_eff, mask=selected)
         return res, new_cache

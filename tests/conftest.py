@@ -17,6 +17,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: big win on the 2-core CI host
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+# separate cache from the TPU runs (the axon remote-compile server writes
+# AOT results for a different host CPU into its cache dir)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-cpu-tests")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
