@@ -1,0 +1,94 @@
+"""Observability: per-round metrics, the console dashboard, and structured
+JSONL logging — the replacement for visualize_state (laserMapping.cpp:762-829)
+plus the structured tracing the reference lacks (SURVEY §5)."""
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+
+class MetricsLogger:
+    """Collects per-round diagnostics; renders a live dashboard and/or
+    appends JSONL records."""
+
+    def __init__(self, jsonl_path=None, dashboard=False, every=10):
+        self.jsonl = open(jsonl_path, "a") if jsonl_path else None
+        self.dashboard = dashboard
+        self.every = every
+        self.t_start = time.time()
+        self.n = 0
+        self.total_compute = 0.0
+        self.total_distance = 0.0
+        self.prev_pos = None
+        self._last = time.time()
+
+    def update(self, carry, out):
+        now = time.time()
+        dt = now - self._last
+        self._last = now
+        self.n += 1
+        self.total_compute += dt
+        pos = np.asarray(out.pos)
+        if self.prev_pos is not None:
+            self.total_distance += float(np.linalg.norm(pos - self.prev_pos))
+        self.prev_pos = pos
+
+        rec = {
+            "round": self.n,
+            "t": float(out.end_time),
+            "pos": pos.tolist(),
+            "quat": np.asarray(out.quat).tolist(),
+            "iterations": int(out.iterations),
+            "n_effective": int(out.n_effective),
+            "map_size": int(out.map_size),
+            "n_insert": int(out.n_insert),
+            "compute_ms": round(dt * 1000, 2),
+            "distance_m": round(self.total_distance, 3),
+        }
+        if self.jsonl:
+            self.jsonl.write(json.dumps(rec) + "\n")
+        if self.dashboard and self.n % self.every == 0:
+            self._render(rec)
+        return rec
+
+    def _render(self, rec):
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        avg_ms = self.total_compute / max(self.n, 1) * 1000
+        lines = [
+            "**** malio_tpu — TPU-native Multi-LiDAR Inertial Odometry ****",
+            f"[Timestamp]          {rec['t']:.3f} s   (round {rec['round']})",
+            f"[Position]           x={rec['pos'][0]:+.3f}  y={rec['pos'][1]:+.3f}  z={rec['pos'][2]:+.3f} m",
+            f"[Orientation wxyz]   {np.round(rec['quat'], 4).tolist()}",
+            f"[Effective points]   {rec['n_effective']}   [IEKF iterations] {rec['iterations']}",
+            f"[Map voxels]         {rec['map_size']}   (+{rec['n_insert']} offered)",
+            f"[Total distance]     {rec['distance_m']:.2f} m",
+            f"[Compute]            {rec['compute_ms']:.1f} ms  (avg {avg_ms:.1f} ms)",
+            f"[RSS]                {rss_mb:.0f} MB",
+        ]
+        sys.stdout.write("\x1b[2J\x1b[H" + "\n".join(lines) + "\n")
+        sys.stdout.flush()
+
+    def close(self):
+        if self.jsonl:
+            self.jsonl.close()
+
+
+def kernel_timer(fn, *args, iters=10):
+    """First-class kernel timing hook (the BASELINE 'kernel time' metric):
+    median wall time of a jitted callable over repeated same-input calls."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), out
