@@ -123,15 +123,32 @@ def city_config(**overrides) -> Config:
 
 
 def urbannav_config(**overrides) -> Config:
-    """2-LiDAR UrbanNav configuration (config/UrbanNav.yaml)."""
+    """2-LiDAR UrbanNav configuration (config/UrbanNav.yaml:1-48)."""
     base = dict(
         num_lidars=2,
         lid_type=(2, 2),
         n_scans=(32, 16),
-        point_filter_num=(2, 2),
+        point_filter_num=(4, 4),
+        blind=0.0,
         timestamp_unit=0,
-        extrinsic_T=(0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
-        extrinsic_R=(1, 0, 0, 0, 1, 0, 0, 0),
+        acc_cov=0.011197412605492375,
+        gyr_cov=0.010270904839480961,
+        b_acc_cov=0.00011751767903346351,
+        b_gyr_cov=0.000091355383994881894,
+        det_range=100.0,
+        extrinsic_T=(0.0, 0.0, 0.28, 0.3237, -0.0012, 0.0791),
+        extrinsic_R=(1, 0, 0, 0, 0.8849, 0.0027, 0.4654, -0.0182),
+        cov_threshold=0.5,
+        point_cov_max=0.00125,
+        point_cov_min=0.00075,
+        plane_cov_max=1.0,
+        plane_cov_min=0.8,
+        localize_cov_max=2.0,
+        localize_cov_min=0.3,
+        localize_thresh_max=0.7,
+        localize_thresh_min=0.2,
+        max_imu_per_group=128,  # 400 Hz IMU
+        traj_capacity=256,
     )
     base.update(overrides)
     return Config(**base)

@@ -59,6 +59,8 @@ class StepOutput(NamedTuple):
     map_size: jnp.ndarray
     n_insert: jnp.ndarray  # points passing the covariance gate
     med_normal_y: jnp.ndarray  # median stored covariance this round
+    kf_pts: jnp.ndarray  # (M_DS, 3) base-LiDAR points in the IMU body frame
+    kf_mask: jnp.ndarray  # (M_DS,)
 
 
 def init_carry(cfg, x0: st.State, P0, Q, dtype=jnp.float32) -> LioCarry:
@@ -270,5 +272,8 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
         map_size=vh.size(map_state),
         n_insert=jnp.sum(ins_mask),
         med_normal_y=jnp.nanmedian(jnp.where(flat_mask, normal_y, jnp.nan)),
+        kf_pts=so3.quat_rotate(upd.x.ext_r[und.base][None], ds_pts[und.base])
+        + upd.x.ext_t[und.base][None],
+        kf_mask=ds_mask[und.base],
     )
     return new_carry, out

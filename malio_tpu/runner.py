@@ -92,7 +92,9 @@ def initial_covariance(cfg, dtype=jnp.float32):
     return jnp.asarray(np.diag(d), dtype)
 
 
-def run_sequence(cfg, groups: Iterable[dict], dtype=jnp.float32, callback=None):
+def run_sequence(
+    cfg, groups: Iterable[dict], dtype=jnp.float32, callback=None, smoother=None
+):
     """Replay measure groups through the pipeline. Returns a dict with the
     trajectory (t, pos, quat) and per-round diagnostics."""
     init = ImuInitializer()
@@ -160,6 +162,8 @@ def run_sequence(cfg, groups: Iterable[dict], dtype=jnp.float32, callback=None):
         iters.append(int(out.iterations))
         n_eff.append(int(out.n_effective))
         map_sizes.append(int(out.map_size))
+        if smoother is not None:
+            smoother.observe(out)
         if callback is not None:
             callback(carry, out)
 
@@ -171,4 +175,5 @@ def run_sequence(cfg, groups: Iterable[dict], dtype=jnp.float32, callback=None):
         n_effective=np.asarray(n_eff),
         map_size=np.asarray(map_sizes),
         carry=carry,
+        smoothed=smoother.trajectory() if smoother is not None else None,
     )

@@ -66,6 +66,30 @@ def test_single_lidar_tracks_trajectory():
 
 
 @pytest.mark.slow
+def test_smoother_produces_refined_trajectory():
+    from malio_tpu.smoother import WindowSmoother
+
+    cfg = _cfg(1, 1024)
+    seq = SyntheticSequence(
+        duration=5.0, num_lidars=1, points_per_scan=1024,
+        ext_t=np.array([[0.2, 0.0, 0.0]]),
+    )
+    imu, rounds, traj = seq.generate()
+    groups = assemble_groups(cfg, imu, rounds)
+    sm = WindowSmoother(
+        window_size=4, keyframe_every=4, optimize_every=1, max_points=1024,
+        dtype=jnp.float64,
+    )
+    res = runner.run_sequence(cfg, groups, dtype=jnp.float64, smoother=sm)
+    ts, ps, qs = res["smoothed"]
+    assert len(ts) >= 4
+    gt = traj.pos(ts)
+    err = ate.ate_rmse(ps, gt, align=True)
+    # the smoothed keyframes must stay at least as good as the odometry
+    assert err < 0.15, err
+
+
+@pytest.mark.slow
 def test_two_lidar_async_fusion():
     cfg = _cfg(2, 1024)
     seq = SyntheticSequence(
