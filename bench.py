@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from malio_tpu import cache as _cache
+    _cache.enable()
+
     from malio_tpu.config import Config
     from malio_tpu.io.synthetic import SyntheticSequence
     from malio_tpu.io.assemble import assemble_groups

@@ -24,6 +24,11 @@ def assemble_groups(cfg, imu_records, rounds, dtype=np.float32):
     P = cfg.max_raw_points
     I = cfg.max_imu_per_group
     IC = cfg.imu_cont_len
+    # IMU timestamp regression guard (imu_cbk "imu loop back",
+    # laserMapping.cpp:258-262): drop out-of-order samples
+    if imu_records.shape[0] > 1:
+        keep = np.concatenate([[True], np.diff(imu_records[:, 0]) > 0])
+        imu_records = imu_records[keep]
     imu_t = imu_records[:, 0]
     cursor = 0  # first undrained IMU index
 

@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--max-rounds", type=int, default=0)
+    ap.add_argument("--skip-rounds", type=int, default=0, help="seek: skip leading rounds")
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default="ckpts")
     ap.add_argument("--resume", default="")
@@ -48,6 +49,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
+    from malio_tpu import cache as _cache
+    _cache.enable()
     import jax.numpy as jnp
 
     from malio_tpu import config as cfg_mod
@@ -67,6 +70,8 @@ def main():
         list(cfg.n_scans),
         cfg.blind,
     )
+    if args.skip_rounds:
+        rounds = rounds[args.skip_rounds :]
     if args.max_rounds:
         rounds = rounds[: args.max_rounds]
     print(f"{len(rounds)} rounds, {len(imu)} imu samples")

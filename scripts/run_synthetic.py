@@ -28,6 +28,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
+    from malio_tpu import cache as _cache
+    _cache.enable()
     import jax.numpy as jnp
 
     from malio_tpu.config import Config
