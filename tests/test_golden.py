@@ -1,0 +1,73 @@
+"""Golden-file regression: a fixed synthetic sequence through the full
+pipeline must reproduce the recorded trajectory (SURVEY §4 oracle 2).
+
+Regenerate after *intentional* behavior changes with:
+    python -m pytest tests/test_golden.py --regen-golden
+(or delete tests/golden/pipeline_v1.npz and run once)."""
+import pathlib
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from malio_tpu.config import Config
+from malio_tpu.io.synthetic import SyntheticSequence
+from malio_tpu.io.assemble import assemble_groups
+from malio_tpu import runner
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "pipeline_v1.npz"
+
+
+def _run():
+    cfg = Config(
+        num_lidars=1,
+        lid_type=(3,),
+        n_scans=(64,),
+        point_filter_num=(1,),
+        extrinsic_T=(0.2, 0.0, 0.0),
+        extrinsic_R=(1.0, 0, 0, 0),
+        max_raw_points=1024,
+        max_points_per_scan=1024,
+        max_imu_per_group=32,
+        traj_capacity=64,
+        spline_capacity=64,
+        epoch_capacity=32,
+        map_capacity=1 << 16,
+        filter_size_surf=0.4,
+        filter_size_map=0.4,
+        cube_len=300.0,
+        det_range=60.0,
+        plane_th=0.1,
+        cov_threshold=30.0,
+    )
+    seq = SyntheticSequence(
+        duration=3.0, num_lidars=1, points_per_scan=1024,
+        ext_t=np.array([[0.2, 0.0, 0.0]]), seed=42,
+    )
+    imu, rounds, _ = seq.generate()
+    groups = assemble_groups(cfg, imu, rounds)
+    res = runner.run_sequence(cfg, groups, dtype=jnp.float64)
+    return res
+
+
+@pytest.mark.slow
+def test_pipeline_matches_golden():
+    res = _run()
+    if not GOLDEN.exists():
+        GOLDEN.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            GOLDEN,
+            t=res["t"],
+            pos=res["pos"],
+            quat=res["quat"],
+            n_effective=res["n_effective"],
+            map_size=res["map_size"],
+        )
+        pytest.skip("golden file created; rerun to compare")
+    g = np.load(GOLDEN)
+    np.testing.assert_allclose(res["t"], g["t"], atol=1e-9)
+    # trajectory must match to float64 round-off across environments
+    np.testing.assert_allclose(res["pos"], g["pos"], atol=1e-6)
+    np.testing.assert_allclose(res["quat"], g["quat"], atol=1e-6)
+    np.testing.assert_array_equal(res["map_size"], g["map_size"])
+    np.testing.assert_array_equal(res["n_effective"], g["n_effective"])
