@@ -64,24 +64,27 @@ def main():
     imu, rounds, traj = seq.generate()
     groups = assemble_groups(cfg, imu, rounds)
 
-    # warm up: run the host driver until the carry exists and one step has
-    # compiled, then time steady-state steps
-    times = []
+    # steady-state throughput with async dispatch: mark wall time at round 8
+    # (after compile + map bootstrap), sync only at the very end — host prep
+    # of round k+1 overlaps device compute of round k
+    marks = {}
 
     def cb(carry, out):
-        out.pos.block_until_ready()
-        times.append(time.perf_counter())
+        k = marks.setdefault("n", 0) + 1
+        marks["n"] = k
+        if k == 8:
+            out.pos.block_until_ready()
+            marks["t8"] = time.perf_counter()
+        marks["last"] = out
 
-    t0 = time.perf_counter()
     res = runner.run_sequence(cfg, groups, dtype=dtype, callback=cb)
-    n = len(times)
-    if n < 12:
+    n = marks.get("n", 0)
+    if n < 16 or "t8" not in marks:
         print(json.dumps({"metric": "scans_per_sec", "value": 0.0, "unit": "scans/s", "vs_baseline": 0.0}))
         return
-    # steady-state: skip the first 8 rounds (compile + map bootstrap)
-    steady = np.diff(np.asarray(times))[8:]
-    per_scan = float(np.median(steady))
-    value = 1.0 / per_scan
+    marks["last"].pos.block_until_ready()
+    t_end = time.perf_counter()
+    value = (n - 8) / (t_end - marks["t8"])
     print(
         json.dumps(
             {

@@ -52,6 +52,25 @@ def process_noise_matrix(gyr_cov, acc_cov, b_gyr_cov, b_acc_cov, dtype=jnp.float
     return jnp.diag(d)
 
 
+def step_mean(x: st.State, u: Input, dt):
+    """Mean-only Euler step (the cheap sequential part of propagation)."""
+    dt = jnp.asarray(dt, x.pos.dtype)
+    omega = u.gyro - x.bg
+    acc_b = u.acc - x.ba
+    R = so3.quat_to_mat(x.rot)
+    a_world = R @ acc_b + x.grav
+    return st.State(
+        pos=x.pos + x.vel * dt,
+        rot=so3.boxplus(x.rot, omega * dt),
+        ext_r=x.ext_r,
+        ext_t=x.ext_t,
+        vel=x.vel + a_world * dt,
+        bg=x.bg,
+        ba=x.ba,
+        grav=x.grav,
+    )
+
+
 def transition(x: st.State, u: Input, dt):
     """One Euler step of the mean plus the exact discrete error-state
     Jacobians used by the reference.
@@ -128,3 +147,32 @@ def predict(x: st.State, P, u: Input, dt, Q):
     x_next, F, Fw = transition(x, u, dt)
     P_next = F @ P @ F.T + Fw @ Q @ Fw.T
     return x_next, P_next
+
+
+def parallel_covariance(Fs, Qts, P0):
+    """All-prefix covariance propagation via associative scan.
+
+    The recursion P_k = F_k P_{k-1} F_k^T + Qt_k is an affine map on
+    covariances; affine maps compose associatively:
+      (F2, Q2) o (F1, Q1) = (F2 F1, F2 Q1 F2^T + Q2)
+    so the whole chain reduces in log-depth batched matmuls (MXU-friendly)
+    instead of N sequential 35x35 products — the TPU-native replacement
+    for the reference's per-IMU-sample predict loop.
+
+    Fs: (N, n, n) step transitions; Qts: (N, n, n) step noise (already
+    Fw Q Fw^T); returns (N, n, n) covariances after each step."""
+
+    def combine(a, b):
+        Fa, Qa = a
+        Fb, Qb = b
+        F = jnp.einsum("...ij,...jk->...ik", Fb, Fa)
+        Q = (
+            jnp.einsum(
+                "...ij,...jk,...lk->...il", Fb, Qa, Fb
+            )
+            + Qb
+        )
+        return F, Q
+
+    G, S = jax.lax.associative_scan(combine, (Fs, Qts))
+    return jnp.einsum("nij,jk,nlk->nil", G, P0, G) + S

@@ -41,7 +41,9 @@ _F3 = jnp.int32(868864169)
 
 MAX_PROBE = 8
 KNN_PROBE = 4  # query-side probe depth; entries past it are simply missed
-INSERT_ROUNDS = 4
+# two rounds resolve all matches plus batch-duplicate losers (a dropped
+# claim re-offers itself on the next scan anyway)
+INSERT_ROUNDS = 2
 NUM_MATCH_POINTS = 5  # common_lib.h:22
 
 
@@ -96,13 +98,13 @@ def _probe_slots(keys, capacity, n_probe=MAX_PROBE):
 
 
 def lookup(m: VoxelHashMap, keys):
-    """Find the slot holding each key. Returns (slot (...,), found (...,))
-    with slot == 0 when not found (mask with `found`)."""
+    """Find the slot holding each key via the fingerprint fast path.
+    Returns (slot (...,), found (...,)) with slot == 0 when not found
+    (mask with `found`). A fingerprint collision (~2^-32) merges two
+    voxels' points under the lowest-covariance policy — benign."""
     C = m.keys.shape[0]
     slots = _probe_slots(keys, C)  # (..., P)
-    cand_keys = m.keys[slots]  # (..., P, 3)
-    cand_occ = m.occupied[slots]
-    match = cand_occ & jnp.all(cand_keys == keys[..., None, :], axis=-1)
+    match = m.fp[slots] == _fingerprint(keys)[..., None]
     found = jnp.any(match, axis=-1)
     first = jnp.argmax(match, axis=-1)
     slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]

@@ -120,6 +120,36 @@ def _ext_cov6(P, l, L):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _batch_propagate(x0, P0, gyros, accs, dts, valids, Q):
+    """One propagation pass, TPU-parallel: a cheap sequential mean scan,
+    vmapped per-step Jacobians, then log-depth all-prefix covariance via
+    associative scan (dynamics.parallel_covariance).
+
+    Returns (x_final, P_final, per-step (q, p, cov6) and the post-step
+    states' times are the caller's concern)."""
+    n = P0.shape[0]
+    dtype = P0.dtype
+
+    def mean_step(x, inp):
+        g, a, dt, v = inp
+        x2 = dynamics.step_mean(x, dynamics.Input(acc=a, gyro=g), dt)
+        x2 = jax.tree_util.tree_map(lambda p, q: jnp.where(v, p, q), x2, x)
+        return x2, (x, x2)
+
+    x_f, (pres, posts) = jax.lax.scan(mean_step, x0, (gyros, accs, dts, valids))
+
+    def jac(xp, g, a, dt):
+        _, F, Fw = dynamics.transition(xp, dynamics.Input(acc=a, gyro=g), dt)
+        return F, Fw @ Q @ Fw.T
+
+    Fs, Qts = jax.vmap(jac)(pres, gyros, accs, dts)
+    I = jnp.eye(n, dtype=dtype)
+    Fs = jnp.where(valids[:, None, None], Fs, I[None])
+    Qts = jnp.where(valids[:, None, None], Qts, jnp.zeros_like(Qts))
+    Ps = dynamics.parallel_covariance(Fs, Qts, P0)
+    return x_f, Ps[-1], posts, Ps
+
+
 def _compact_history(h: History, keep):
     """Stable-compact kept entries to the front (order by time preserved)."""
     cap = h.t.shape[0]
@@ -206,21 +236,13 @@ def undistort(
     )
 
     # ---- 3. backward re-propagation (:274-292) ----
-    def back_step(carry, i):
-        xb, Pb = carry
-        active = (i >= BACKWARD_MIN_INDEX) & (i <= hist.n - 1)
-        dt = hist.t[i - 1] - hist.t[i]  # negative
-        u = dynamics.Input(acc=hist.inp[i, 3:6], gyro=hist.inp[i, 0:3])
-        xb2, Pb2 = dynamics.predict(xb, Pb, u, dt, Q)
-        xb = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(active, a, b), xb2, xb
-        )
-        Pb = jnp.where(active, Pb2, Pb)
-        out = (xb.rot, xb.pos, _pose_cov6(Pb), active)
-        return (xb, Pb), out
-
     rev = jnp.arange(cap - 1, 0, -1)
-    (_, _), (bq, bp, bcov, bactive) = jax.lax.scan(back_step, (x, P), rev)
+    bactive = (rev >= BACKWARD_MIN_INDEX) & (rev <= hist.n - 1)
+    bdts = hist.t[rev - 1] - hist.t[rev]  # negative
+    _, _, bposts, bPs = _batch_propagate(
+        x, P, hist.inp[rev, 0:3], hist.inp[rev, 3:6], bdts, bactive, Q
+    )
+    bq, bp, bcov = bposts.rot, bposts.pos, bPs[:, :6, :6]
     # write results into slots i-1
     wslot = jnp.where(bactive, rev - 1, cap)
     hist = hist._replace(
@@ -237,47 +259,27 @@ def undistort(
     head = jnp.concatenate([last_imu[None], group.imu[:-1]], axis=0)
     tails = group.imu
     valid_f = group.imu_mask & (tails[:, 0] >= last_end_t)
-
-    def fwd_step(carry, inp):
-        xf, Pf = carry
-        h7, t7, v = inp
-        gyro = 0.5 * (h7[1:4] + t7[1:4])
-        acc = 0.5 * (h7[4:7] + t7[4:7]) * g_scale
-        dt = t7[0] - jnp.maximum(h7[0], last_end_t)
-        u = dynamics.Input(acc=acc, gyro=gyro)
-        xf2, Pf2 = dynamics.predict(xf, Pf, u, dt, Q)
-        xf = jax.tree_util.tree_map(lambda a, b: jnp.where(v, a, b), xf2, xf)
-        Pf = jnp.where(v, Pf2, Pf)
-        out = (t7[0], xf.rot, xf.pos, _pose_cov6(Pf), jnp.concatenate([gyro, acc]))
-        return (xf, Pf), out
-
-    (x_f, P_f), (ft, fq, fp, fcov, fin) = jax.lax.scan(
-        fwd_step, (x, P), (head, tails, valid_f)
+    f_gyro = 0.5 * (head[:, 1:4] + tails[:, 1:4])
+    f_acc = 0.5 * (head[:, 4:7] + tails[:, 4:7]) * g_scale
+    f_dts = tails[:, 0] - jnp.maximum(head[:, 0], last_end_t)
+    x_f, P_f, fposts, fPs = _batch_propagate(x, P, f_gyro, f_acc, f_dts, valid_f, Q)
+    fin = jnp.concatenate([f_gyro, f_acc], axis=-1)
+    hist = _append(
+        hist, tails[:, 0], fposts.rot, fposts.pos, fPs[:, :6, :6], fin, valid_f
     )
-    hist = _append(hist, ft, fq, fp, fcov, fin, valid_f)
 
     # ---- 5. continuation on future IMU (:349-389) ----
     c_head = group.imu_cont[:-1]
     c_tail = group.imu_cont[1:]
     valid_c = group.imu_cont_mask[:-1] & group.imu_cont_mask[1:]
-
-    def cont_step(carry, inp):
-        xc, Pc = carry
-        h7, t7, v = inp
-        gyro = 0.5 * (h7[1:4] + t7[1:4])
-        acc = 0.5 * (h7[4:7] + t7[4:7]) * g_scale
-        dt = t7[0] - h7[0]
-        u = dynamics.Input(acc=acc, gyro=gyro)
-        xc2, Pc2 = dynamics.predict(xc, Pc, u, dt, Q)
-        xc = jax.tree_util.tree_map(lambda a, b: jnp.where(v, a, b), xc2, xc)
-        Pc = jnp.where(v, Pc2, Pc)
-        out = (t7[0], xc.rot, xc.pos, _pose_cov6(Pc), jnp.concatenate([gyro, acc]))
-        return (xc, Pc), out
-
-    (_, _), (ct, cq, cp, ccov, cin) = jax.lax.scan(
-        cont_step, (x_f, P_f), (c_head, c_tail, valid_c)
+    c_gyro = 0.5 * (c_head[:, 1:4] + c_tail[:, 1:4])
+    c_acc = 0.5 * (c_head[:, 4:7] + c_tail[:, 4:7]) * g_scale
+    c_dts = c_tail[:, 0] - c_head[:, 0]
+    _, _, cposts, cPs = _batch_propagate(x_f, P_f, c_gyro, c_acc, c_dts, valid_c, Q)
+    cin = jnp.concatenate([c_gyro, c_acc], axis=-1)
+    hist = _append(
+        hist, c_tail[:, 0], cposts.rot, cposts.pos, cPs[:, :6, :6], cin, valid_c
     )
-    hist = _append(hist, ct, cq, cp, ccov, cin, valid_c)
 
     # ---- spline over the history (:391) ----
     live = jnp.arange(cap) < hist.n

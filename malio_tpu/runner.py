@@ -92,16 +92,40 @@ def initial_covariance(cfg, dtype=jnp.float32):
     return jnp.asarray(np.diag(d), dtype)
 
 
+def _stack_chunk(chunk, dtype):
+    """Stack a list of host group dicts into one batched MeasureGroup and
+    ship it to the device in a single transfer (per-round transfers through
+    the TPU relay dominate otherwise)."""
+    def cat(key, cast=None):
+        arr = np.stack([g[key] for g in chunk])
+        return jnp.asarray(arr if cast is None else arr.astype(cast))
+
+    return prop.MeasureGroup(
+        pts=cat("pts", dtype),
+        pts_mask=cat("pts_mask"),
+        beg_t=cat("beg_t", dtype),
+        end_t=cat("end_t", dtype),
+        imu=cat("imu", dtype),
+        imu_mask=cat("imu_mask"),
+        imu_cont=cat("imu_cont", dtype),
+        imu_cont_mask=cat("imu_cont_mask"),
+    )
+
+
 def run_sequence(
-    cfg, groups: Iterable[dict], dtype=jnp.float32, callback=None, smoother=None
+    cfg,
+    groups: Iterable[dict],
+    dtype=jnp.float32,
+    callback=None,
+    smoother=None,
+    prefetch_chunk: int = 16,
 ):
     """Replay measure groups through the pipeline. Returns a dict with the
     trajectory (t, pos, quat) and per-round diagnostics."""
+    groups = list(groups)
     init = ImuInitializer()
     carry = None
-    traj_t, traj_p, traj_q = [], [], []
-    iters, n_eff, map_sizes = [], [], []
-    first = True
+    outs = []
     last_imu_seed = np.zeros(7)
 
     def _track_last_imu(g):
@@ -110,22 +134,16 @@ def run_sequence(
             return np.asarray(g["imu"], np.float64)[m.nonzero()[0][-1]]
         return last_imu_seed
 
-    for g in groups:
+    # --- init phase (host-side): first-scan shortcut + IMU statistics ---
+    start = 0
+    for gi, g in enumerate(groups):
         prev_last_imu = last_imu_seed
         last_imu_seed = _track_last_imu(g)
-        if first:
-            # flg_first_scan shortcut (laserMapping.cpp:945-951): the first
-            # round only stamps first_lidar_time; its IMU still feeds init
-            init.update(np.asarray(g["imu"], np.float64), g["imu_mask"])
-            first = False
-            continue
-        if carry is None:
-            if not init.done:
-                init.update(np.asarray(g["imu"], np.float64), g["imu_mask"])
-                continue
+        # flg_first_scan shortcut (laserMapping.cpp:945-951); subsequent
+        # rounds feed IMU_init until >10 samples (IMU_Processing.hpp:147)
+        if gi > 0 and init.done:
             x0 = initial_state(cfg, init, dtype)
             P0 = initial_covariance(cfg, dtype)
-            Q = dynamics.process_noise_matrix(0, 0, 0, 0, jnp.float64)
             Q = jnp.asarray(
                 np.diag(
                     np.concatenate(
@@ -144,36 +162,41 @@ def run_sequence(
                 mean_acc_norm=jnp.asarray(np.linalg.norm(init.mean_acc), dtype),
                 last_imu=jnp.asarray(prev_last_imu, dtype),
             )
+            start = gi
+            break
+        init.update(np.asarray(g["imu"], np.float64), g["imu_mask"])
 
-        group = prop.MeasureGroup(
-            pts=jnp.asarray(g["pts"], dtype),
-            pts_mask=jnp.asarray(g["pts_mask"]),
-            beg_t=jnp.asarray(g["beg_t"], dtype),
-            end_t=jnp.asarray(g["end_t"], dtype),
-            imu=jnp.asarray(g["imu"], dtype),
-            imu_mask=jnp.asarray(g["imu_mask"]),
-            imu_cont=jnp.asarray(g["imu_cont"], dtype),
-            imu_cont_mask=jnp.asarray(g["imu_cont_mask"]),
+    if carry is None:
+        return dict(
+            t=np.zeros(0), pos=np.zeros((0, 3)), quat=np.zeros((0, 4)),
+            iterations=np.zeros(0, int), n_effective=np.zeros(0, int),
+            map_size=np.zeros(0, int), carry=None,
+            smoothed=smoother.trajectory() if smoother is not None else None,
         )
-        carry, out = pipeline.step(cfg, carry, group)
-        traj_t.append(float(out.end_time))
-        traj_p.append(np.asarray(out.pos))
-        traj_q.append(np.asarray(out.quat))
-        iters.append(int(out.iterations))
-        n_eff.append(int(out.n_effective))
-        map_sizes.append(int(out.map_size))
-        if smoother is not None:
-            smoother.observe(out)
-        if callback is not None:
-            callback(carry, out)
+
+    # --- fusion phase: chunked device transfers + async dispatch ---
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+    for c0 in range(start, len(groups), prefetch_chunk):
+        chunk = groups[c0 : c0 + prefetch_chunk]
+        gdev = _stack_chunk(chunk, np_dtype)
+        for k in range(len(chunk)):
+            group = jax.tree_util.tree_map(lambda a: a[k], gdev)
+            carry, out = pipeline.step(cfg, carry, group)
+            # keep outputs as device arrays: converting here would force a
+            # host sync every round and defeat async dispatch pipelining
+            outs.append(out)
+            if smoother is not None:
+                smoother.observe(out)
+            if callback is not None:
+                callback(carry, out)
 
     return dict(
-        t=np.asarray(traj_t),
-        pos=np.asarray(traj_p),
-        quat=np.asarray(traj_q),
-        iterations=np.asarray(iters),
-        n_effective=np.asarray(n_eff),
-        map_size=np.asarray(map_sizes),
+        t=np.asarray([np.asarray(o.end_time) for o in outs]),
+        pos=np.asarray([np.asarray(o.pos) for o in outs]),
+        quat=np.asarray([np.asarray(o.quat) for o in outs]),
+        iterations=np.asarray([int(o.iterations) for o in outs]),
+        n_effective=np.asarray([int(o.n_effective) for o in outs]),
+        map_size=np.asarray([int(o.map_size) for o in outs]),
         carry=carry,
         smoothed=smoother.trajectory() if smoother is not None else None,
     )
