@@ -104,3 +104,20 @@ def test_two_lidar_async_fusion():
     err_aligned = ate.ate_rmse(res["pos"], gt, align=True)
     assert err_aligned < 0.15, err_aligned
     assert res["n_effective"][-1] > 300
+
+
+@pytest.mark.slow
+def test_three_lidar_city_style_fusion():
+    """Three asynchronous LiDARs (the City configuration shape): base
+    selection rotates with scan-end order; extrinsic slots stay fixed."""
+    cfg = _cfg(3, 768)
+    seq = SyntheticSequence(duration=3.5, num_lidars=3, points_per_scan=768)
+    imu, rounds, traj = seq.generate()
+    ends = [s["end_t"] for s in rounds[0]]
+    assert len(set(np.round(ends, 6))) == 3  # all asynchronous
+    groups = assemble_groups(cfg, imu, rounds)
+    res = runner.run_sequence(cfg, groups, dtype=jnp.float64)
+    gt = traj.pos(res["t"])
+    err_aligned = ate.ate_rmse(res["pos"], gt, align=True)
+    assert err_aligned < 0.15, err_aligned
+    assert res["n_effective"][-1] > 300
