@@ -61,6 +61,8 @@ class StepOutput(NamedTuple):
     med_normal_y: jnp.ndarray  # median stored covariance this round
     kf_pts: jnp.ndarray  # (M_DS, 3) base-LiDAR points in the IMU body frame
     kf_mask: jnp.ndarray  # (M_DS,)
+    world_pts: jnp.ndarray  # (M, 3) registered (world) downsampled points
+    world_mask: jnp.ndarray  # (M,)
 
 
 def init_carry(cfg, x0: st.State, P0, Q, dtype=jnp.float32) -> LioCarry:
@@ -275,5 +277,7 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
         kf_pts=so3.quat_rotate(upd.x.ext_r[und.base][None], ds_pts[und.base])
         + upd.x.ext_t[und.base][None],
         kf_mask=ds_mask[und.base],
+        world_pts=world_pts,
+        world_mask=flat_mask,
     )
     return new_carry, out

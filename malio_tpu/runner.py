@@ -176,27 +176,33 @@ def run_sequence(
 
     # --- fusion phase: chunked device transfers + async dispatch ---
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+    small = ("pos", "quat", "end_time", "iterations", "n_effective", "map_size")
     for c0 in range(start, len(groups), prefetch_chunk):
         chunk = groups[c0 : c0 + prefetch_chunk]
         gdev = _stack_chunk(chunk, np_dtype)
+        chunk_outs = []
         for k in range(len(chunk)):
             group = jax.tree_util.tree_map(lambda a: a[k], gdev)
             carry, out = pipeline.step(cfg, carry, group)
-            # keep outputs as device arrays: converting here would force a
-            # host sync every round and defeat async dispatch pipelining
-            outs.append(out)
+            # keep outputs as device arrays within the chunk: converting
+            # per round would force a host sync and defeat async dispatch
+            chunk_outs.append(out)
             if smoother is not None:
                 smoother.observe(out)
             if callback is not None:
                 callback(carry, out)
+        # one sync per chunk; keep only the small fields so long sequences
+        # don't accumulate per-round point clouds in device memory
+        for o in chunk_outs:
+            outs.append({k: np.asarray(getattr(o, k)) for k in small})
 
     return dict(
-        t=np.asarray([np.asarray(o.end_time) for o in outs]),
-        pos=np.asarray([np.asarray(o.pos) for o in outs]),
-        quat=np.asarray([np.asarray(o.quat) for o in outs]),
-        iterations=np.asarray([int(o.iterations) for o in outs]),
-        n_effective=np.asarray([int(o.n_effective) for o in outs]),
-        map_size=np.asarray([int(o.map_size) for o in outs]),
+        t=np.asarray([o["end_time"] for o in outs]),
+        pos=np.asarray([o["pos"] for o in outs]),
+        quat=np.asarray([o["quat"] for o in outs]),
+        iterations=np.asarray([int(o["iterations"]) for o in outs]),
+        n_effective=np.asarray([int(o["n_effective"]) for o in outs]),
+        map_size=np.asarray([int(o["map_size"]) for o in outs]),
         carry=carry,
         smoothed=smoother.trajectory() if smoother is not None else None,
     )

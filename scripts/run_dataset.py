@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default="ckpts")
     ap.add_argument("--resume", default="")
+    ap.add_argument(
+        "--save-cloud-every",
+        type=int,
+        default=0,
+        help="accumulate registered clouds and write PCD/scans_*.pcd every N rounds"
+        " (pcd_save, laserMapping.cpp:467-488)",
+    )
+    ap.add_argument("--cloud-dir", default="PCD")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +88,8 @@ def main():
     dtype = jnp.float64 if args.f64 else jnp.float32
     t0 = time.time()
     k = [0]
+    cloud_acc = []
+    pcd_idx = [0]
 
     def cb(carry, out):
         k[0] += 1
@@ -87,6 +97,18 @@ def main():
             checkpoint.save(
                 pathlib.Path(args.checkpoint_dir) / f"round_{k[0]:06d}.npz", carry
             )
+        if args.save_cloud_every:
+            w = np.asarray(out.world_pts)[np.asarray(out.world_mask)]
+            cloud_acc.append(w)
+            if k[0] % args.save_cloud_every == 0:
+                from malio_tpu.io.pcd import write_pcd
+
+                pcd_idx[0] += 1
+                write_pcd(
+                    pathlib.Path(args.cloud_dir) / f"scans_{pcd_idx[0]:04d}.pcd",
+                    np.concatenate(cloud_acc),
+                )
+                cloud_acc.clear()
         if k[0] % 50 == 1:
             print(
                 f"round {k[0]} t={float(out.end_time):.2f} "
