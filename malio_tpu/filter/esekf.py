@@ -60,18 +60,22 @@ def _tangent_transport(x_lin: st.State, dx, x_prop: st.State):
 
 
 def _spd_inverse(A):
-    """Inverse of a symmetric positive-definite matrix via Jacobi-scaled
-    Cholesky — keeps the 35x35 information-form solve stable in f32 on TPU
-    (state covariance diagonals span 1e-6 .. 1, so a raw LU inverse loses
-    the small blocks in single precision)."""
+    """Robust inverse of a (nominally) symmetric positive-definite matrix:
+    Jacobi scaling + eigendecomposition with an eigenvalue floor.
+
+    The covariance update's subtraction form (P = L - K_x P,
+    esekfom.hpp:714) can leave P slightly indefinite in f32; a Cholesky
+    would NaN on the next round, an eigenvalue clamp just repairs it. The
+    35x35 eigh costs microseconds and runs a handful of times per scan."""
+    A = 0.5 * (A + A.T)
     d = jnp.sqrt(jnp.clip(jnp.diagonal(A), 1e-30, None))
     inv_d = 1.0 / d
     As = A * inv_d[:, None] * inv_d[None, :]
-    n = A.shape[0]
-    jitter = 1e-6 if A.dtype == jnp.float32 else 1e-12
-    C = jnp.linalg.cholesky(As + jitter * jnp.eye(n, dtype=A.dtype))
-    I = jnp.eye(n, dtype=A.dtype)
-    Ws = jax.scipy.linalg.cho_solve((C, True), I)
+    As = 0.5 * (As + As.T)
+    floor = 1e-6 if A.dtype == jnp.float32 else 1e-12
+    w, V = jnp.linalg.eigh(As)
+    w = jnp.clip(w, floor, None)
+    Ws = (V / w[None, :]) @ V.T
     return Ws * inv_d[:, None] * inv_d[None, :]
 
 
@@ -178,6 +182,9 @@ def update_iterated(
     P_cols = P_t @ J2.T
     K2 = J2 @ K_xa  # row transport of K_x's active columns
     P_new = L_mat - K2 @ P_cols[:act, :]
+    # the subtraction form drifts from symmetry in f32; repair it so the
+    # next round's propagation and solve stay positive-definite
+    P_new = 0.5 * (P_new + P_new.T)
 
     P_out = jnp.where(ever_valid, P_new, P0)
     x_out = jax.tree_util.tree_map(
