@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def assemble_groups(cfg, imu_records, rounds, dtype=np.float32):
+def assemble_groups(cfg, imu_records, rounds, dtype=np.float64):
     """imu_records: (N, 7) [t, gyro, acc]; rounds: list of per-LiDAR dicts
     (beg_t, end_t, pts (P,4)). Yields dicts of numpy arrays shaped for
     propagate.MeasureGroup, plus bookkeeping fields.

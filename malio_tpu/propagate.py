@@ -78,6 +78,9 @@ class MeasureGroup(NamedTuple):
     imu_mask: jnp.ndarray  # (I,)
     imu_cont: jnp.ndarray  # (IC, 7) future IMU (first = last of imu)
     imu_cont_mask: jnp.ndarray  # (IC,)
+    t_shift: jnp.ndarray  # () this group's time base minus the previous
+    # group's (all other times are relative to the group base so f32 keeps
+    # microsecond resolution over arbitrarily long sequences)
 
 
 class UndistortResult(NamedTuple):
@@ -198,6 +201,11 @@ def undistort(
     E = cfg.epoch_capacity
 
     g_scale = cfg.gravity / mean_acc_norm  # IMU_Processing.hpp:318
+
+    # rebase carried times into this group's time frame
+    hist = hist._replace(t=hist.t - group.t_shift)
+    last_end_t = last_end_t - group.t_shift
+    last_imu = last_imu.at[0].add(-group.t_shift)
 
     base = jnp.argmax(group.end_t).astype(jnp.int32)
     pcl_end = jnp.max(group.end_t)

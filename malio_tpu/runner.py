@@ -92,24 +92,42 @@ def initial_covariance(cfg, dtype=jnp.float32):
     return jnp.asarray(np.diag(d), dtype)
 
 
-def _stack_chunk(chunk, dtype):
-    """Stack a list of host group dicts into one batched MeasureGroup and
-    ship it to the device in a single transfer (per-round transfers through
-    the TPU relay dominate otherwise)."""
-    def cat(key, cast=None):
-        arr = np.stack([g[key] for g in chunk])
-        return jnp.asarray(arr if cast is None else arr.astype(cast))
+def group_base(g):
+    """Per-group time base (f64): the earliest scan begin."""
+    return float(np.min(np.asarray(g["beg_t"], np.float64)))
 
-    return prop.MeasureGroup(
-        pts=cat("pts", dtype),
-        pts_mask=cat("pts_mask"),
-        beg_t=cat("beg_t", dtype),
-        end_t=cat("end_t", dtype),
-        imu=cat("imu", dtype),
-        imu_mask=cat("imu_mask"),
-        imu_cont=cat("imu_cont", dtype),
-        imu_cont_mask=cat("imu_cont_mask"),
+
+def _stack_chunk(chunk, dtype, prev_base):
+    """Stack host group dicts into one batched MeasureGroup, rebased to
+    per-group time origins (f32 keeps microsecond resolution regardless of
+    sequence length) and shipped in a single transfer (per-round transfers
+    through the TPU relay dominate otherwise).
+
+    Returns (device group, last group's base)."""
+    bases = np.asarray([group_base(g) for g in chunk], np.float64)
+    shifts = np.diff(np.concatenate([[prev_base], bases]))
+
+    pts = np.stack([np.asarray(g["pts"], np.float64) for g in chunk])
+    pts[..., 3] -= bases[:, None, None]
+    imu = np.stack([np.asarray(g["imu"], np.float64) for g in chunk])
+    imu[..., 0] -= bases[:, None]
+    cont = np.stack([np.asarray(g["imu_cont"], np.float64) for g in chunk])
+    cont[..., 0] -= bases[:, None]
+    beg = np.stack([np.asarray(g["beg_t"], np.float64) for g in chunk]) - bases[:, None]
+    end = np.stack([np.asarray(g["end_t"], np.float64) for g in chunk]) - bases[:, None]
+
+    out = prop.MeasureGroup(
+        pts=jnp.asarray(pts.astype(dtype)),
+        pts_mask=jnp.asarray(np.stack([g["pts_mask"] for g in chunk])),
+        beg_t=jnp.asarray(beg.astype(dtype)),
+        end_t=jnp.asarray(end.astype(dtype)),
+        imu=jnp.asarray(imu.astype(dtype)),
+        imu_mask=jnp.asarray(np.stack([g["imu_mask"] for g in chunk])),
+        imu_cont=jnp.asarray(cont.astype(dtype)),
+        imu_cont_mask=jnp.asarray(np.stack([g["imu_cont_mask"] for g in chunk])),
+        t_shift=jnp.asarray(shifts.astype(dtype)),
     )
+    return out, bases
 
 
 def run_sequence(
@@ -177,24 +195,34 @@ def run_sequence(
     # --- fusion phase: chunked device transfers + async dispatch ---
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
     small = ("pos", "quat", "end_time", "iterations", "n_effective", "map_size")
+    # times are rebased per group; the first fused group's base is the
+    # origin, so pre-rebase the carried last-IMU stamp
+    base0 = group_base(groups[start])
+    carry = carry._replace(
+        last_imu=carry.last_imu.at[0].add(jnp.asarray(-base0, dtype))
+    )
+    prev_base = base0
     for c0 in range(start, len(groups), prefetch_chunk):
         chunk = groups[c0 : c0 + prefetch_chunk]
-        gdev = _stack_chunk(chunk, np_dtype)
+        gdev, bases = _stack_chunk(chunk, np_dtype, prev_base)
+        prev_base = float(bases[-1])
         chunk_outs = []
         for k in range(len(chunk)):
             group = jax.tree_util.tree_map(lambda a: a[k], gdev)
             carry, out = pipeline.step(cfg, carry, group)
             # keep outputs as device arrays within the chunk: converting
             # per round would force a host sync and defeat async dispatch
-            chunk_outs.append(out)
+            chunk_outs.append((out, float(bases[k])))
             if smoother is not None:
                 smoother.observe(out)
             if callback is not None:
                 callback(carry, out)
         # one sync per chunk; keep only the small fields so long sequences
         # don't accumulate per-round point clouds in device memory
-        for o in chunk_outs:
-            outs.append({k: np.asarray(getattr(o, k)) for k in small})
+        for o, b in chunk_outs:
+            rec = {k: np.asarray(getattr(o, k)) for k in small}
+            rec["end_time"] = rec["end_time"] + b  # back to absolute f64
+            outs.append(rec)
 
     return dict(
         t=np.asarray([o["end_time"] for o in outs]),

@@ -52,6 +52,7 @@ carry = carry._replace(mean_acc_norm=jnp.asarray(np.linalg.norm(init.mean_acc), 
 
 def to_group(g):
     return prop.MeasureGroup(
+        t_shift=jnp.asarray(0.0, dtype),
         pts=jnp.asarray(g["pts"], dtype), pts_mask=jnp.asarray(g["pts_mask"]),
         beg_t=jnp.asarray(g["beg_t"], dtype), end_t=jnp.asarray(g["end_t"], dtype),
         imu=jnp.asarray(g["imu"], dtype), imu_mask=jnp.asarray(g["imu_mask"]),

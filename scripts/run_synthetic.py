@@ -62,6 +62,7 @@ def main():
         cube_len=300.0,
         det_range=60.0,
         plane_th=0.1,
+        cov_threshold=30.0,
     )
     seq = SyntheticSequence(
         duration=args.duration, num_lidars=L, points_per_scan=args.points
