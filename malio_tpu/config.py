@@ -122,6 +122,21 @@ def city_config(**overrides) -> Config:
     return Config(**base)
 
 
+def city_ouster_config(**overrides) -> Config:
+    """Single-Ouster subset of the City rig (BASELINE config 1: the
+    CPU-runnable minimum slice)."""
+    base = city_config().__dict__ | dict(
+        num_lidars=1,
+        lid_type=(3,),
+        n_scans=(128,),
+        point_filter_num=(8,),
+        extrinsic_T=(0.215, 0.0, 0.018),
+        extrinsic_R=(1.0, 0, 0, 0),
+    )
+    base.update(overrides)
+    return Config(**base)
+
+
 def urbannav_config(**overrides) -> Config:
     """2-LiDAR UrbanNav configuration (config/UrbanNav.yaml:1-48)."""
     base = dict(

@@ -170,10 +170,16 @@ def load_sequence(root, sensors, lid_types, point_filter_num, n_scans, blind=0.0
     per = []
     for si, s in enumerate(sensors):
         files = list_scan_files(root, s)
+        if not files:
+            raise FileNotFoundError(
+                f"no scan files for sensor '{s}' under "
+                f"{root}/sensor_data/{SENSOR_DIRS[s][0]} — check the dataset "
+                f"layout or use a config matching the available sensors"
+            )
         stamps = np.array([int(f.stem) * 1e-9 for f in files])
         per.append((files, stamps))
 
-    if not per or len(per[0][0]) == 0:
+    if not per:
         return imu, []
 
     # align: start all streams within half a period of the latest starter

@@ -22,6 +22,10 @@ CONFIGS = {
         sensors=["ouster", "livox_avia", "livox_tele"],
         factory="city_config",
     ),
+    "city-ouster": dict(  # single-LiDAR subset (BASELINE config 1)
+        sensors=["ouster"],
+        factory="city_ouster_config",
+    ),
     "urbannav": dict(
         sensors=["vlp_left", "vlp_right"],
         factory="urbannav_config",
