@@ -36,6 +36,8 @@ class Config:
     b_acc_cov: float = 0.0001
     converge_limit: float = 0.001  # esekfom.hpp:162
     laser_point_cov: float = 0.001  # laserMapping.cpp:38 (LASER_POINT_COV)
+    single_search: bool = False  # True: k-NN only on the first IEKF
+    # iteration (speed mode; reference re-searches after convergence)
 
     # --- map ---
     filter_size_surf: float = 0.5

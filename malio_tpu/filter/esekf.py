@@ -96,12 +96,17 @@ def update_iterated(
     limit: float = 1e-3,
     r_floor_check: float = 1e-4,
     r_floor_value: float = 1e-3,
+    search_on_converge: bool = True,
 ) -> IEKFResult:
     """Run the iterated update (esekfom.hpp:495-721).
 
     h_share_fn(x, search_flag, cache) -> (HShareResult, cache). search_flag
     mirrors dyn_share.converge: when True the model re-runs correspondence
     search; when False it reuses the cached associations.
+
+    search_on_converge=False searches only on the first iteration (the
+    k-NN is the per-scan bottleneck; the post-convergence re-search moves
+    few associations). A speed/fidelity trade the reference doesn't offer.
     """
     L = x0.num_lidars
     n = st.dof(L)
@@ -111,7 +116,8 @@ def update_iterated(
 
     def body(carry):
         (i, t, converge, x, _P_t, _Kxa, _dx_out, ever_valid, cache, _done) = carry
-        res, cache = h_share_fn(x, converge, cache)
+        search = converge if search_on_converge else (i == -1)
+        res, cache = h_share_fn(x, search, cache)
 
         dx = st.boxminus(x, x0).astype(dtype)
         J = _tangent_transport(x, dx, x0)

@@ -225,6 +225,7 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
             cache0,
             max_iter=cfg.max_iteration,
             limit=cfg.converge_limit,
+            search_on_converge=not cfg.single_search,
         )
 
     def skip_update(_):
