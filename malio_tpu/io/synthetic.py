@@ -214,17 +214,32 @@ class SyntheticSequence:
                 w /= w.sum()
                 sel = rng.choice(vis, size=self.points_per_scan, replace=True, p=w)
                 world = anchors[sel]
-                pts = np.zeros((self.points_per_scan, 4))
-                for i in range(self.points_per_scan):
-                    Ri = traj.rot(ts[i])
-                    pi = traj.pos(ts[i])
-                    in_imu = Ri.T @ (world[i] - pi)
-                    in_lidar = ext_R[l].T @ (in_imu - self.ext_t[l])
-                    pts[i, :3] = in_lidar + rng.normal(size=3) * self.noise
-                    pts[i, 3] = ts[i]
+                # vectorized: per-point pose from the analytic trajectory
+                yaws = self.rot_angles(traj, ts)
+                c, s = np.cos(yaws), np.sin(yaws)
+                pos_t = traj.pos(ts)  # (P, 3)
+                d = world - pos_t
+                # R(t)^T d with R = Rz(yaw)
+                in_imu = np.stack(
+                    [c * d[:, 0] + s * d[:, 1], -s * d[:, 0] + c * d[:, 1], d[:, 2]],
+                    axis=-1,
+                )
+                in_lidar = (in_imu - self.ext_t[l]) @ ext_R[l]
+                pts = np.concatenate(
+                    [
+                        in_lidar + rng.normal(size=in_lidar.shape) * self.noise,
+                        ts[:, None],
+                    ],
+                    axis=1,
+                )
                 per_lidar.append(dict(beg_t=beg, end_t=end, pts=pts))
             rounds.append(per_lidar)
         return imu, rounds, traj
+
+    @staticmethod
+    def rot_angles(traj, ts):
+        """Vectorized yaw angles of the trajectory (Rz-only rotation)."""
+        return traj.yaw_rate * traj._tau(np.asarray(ts, np.float64))
 
     @staticmethod
     def _quat_to_mat(q):

@@ -214,7 +214,7 @@ def run_sequence(
             # per round would force a host sync and defeat async dispatch
             chunk_outs.append((out, float(bases[k])))
             if smoother is not None:
-                smoother.observe(out)
+                smoother.observe(out, t_base=float(bases[k]))
             if callback is not None:
                 callback(carry, out)
         # one sync per chunk; keep only the small fields so long sequences

@@ -35,8 +35,9 @@ class WindowSmoother:
         self._kf_times = []
         self.refined = {}  # time -> (q, t)
 
-    def observe(self, out):
-        """Call once per fusion round with the StepOutput."""
+    def observe(self, out, t_base=0.0):
+        """Call once per fusion round with the StepOutput. t_base restores
+        absolute time from the group-relative end_time."""
         self._round += 1
         if self._round % self.keyframe_every:
             return
@@ -53,7 +54,9 @@ class WindowSmoother:
             pts,
             mask,
         )
-        self._kf_times = (self._kf_times + [float(out.end_time)])[-self.window_size :]
+        self._kf_times = (self._kf_times + [float(out.end_time) + t_base])[
+            -self.window_size :
+        ]
         self._kf_count += 1
         if (
             self._kf_count % self.optimize_every == 0

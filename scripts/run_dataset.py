@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--checkpoint-dir", default="ckpts")
     ap.add_argument("--resume", default="")
     ap.add_argument(
+        "--smoother",
+        action="store_true",
+        help="run the sliding-window plane-BA smoother alongside the filter "
+        "and write <out>.smoothed",
+    )
+    ap.add_argument(
         "--save-cloud-every",
         type=int,
         default=0,
@@ -121,12 +127,22 @@ def main():
                 flush=True,
             )
 
-    res = runner.run_sequence(cfg, groups, dtype=dtype, callback=cb)
+    smoother = None
+    if args.smoother:
+        from malio_tpu.smoother import WindowSmoother
+
+        smoother = WindowSmoother(dtype=dtype)
+    res = runner.run_sequence(cfg, groups, dtype=dtype, callback=cb, smoother=smoother)
     dt = time.time() - t0
     n = len(res["t"])
     print(f"{n} rounds in {dt:.1f}s ({n / dt:.2f} scans/s)")
     ate.write_tum(args.out, res["t"], res["pos"], res["quat"])
     print(f"trajectory written to {args.out}")
+    if smoother is not None and res["smoothed"] is not None:
+        ts, ps, qs = res["smoothed"]
+        if len(ts):
+            ate.write_tum(args.out + ".smoothed", ts, ps, qs)
+            print(f"smoothed keyframe trajectory written to {args.out}.smoothed")
 
     gt_file = pathlib.Path(args.root) / "Groundtruth.txt"
     if gt_file.exists():
