@@ -38,6 +38,8 @@ class Config:
     laser_point_cov: float = 0.001  # laserMapping.cpp:38 (LASER_POINT_COV)
     single_search: bool = False  # True: k-NN only on the first IEKF
     # iteration (speed mode; reference re-searches after convergence)
+    pallas_deskew: bool = False  # True: fused Pallas spline-deskew kernel
+    # (TPU; interpret-mode on CPU) instead of the jnp path
 
     # --- map ---
     filter_size_surf: float = 0.5

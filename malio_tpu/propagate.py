@@ -327,24 +327,51 @@ def undistort(
     # ---- 6. point deskew (:475-507) ----
     pt_t = group.pts[..., 3]
     flat_t = pt_t.reshape(-1)
-    pq, pp, pok = spl.get_pose_batch(sp, flat_t)
-    pq = pq.reshape(L, -1, 4)
-    pp = pp.reshape(L, -1, 3)
-    pok = pok.reshape(L, -1)
-
     ext_q = x_f.ext_r  # (L, 4)
     ext_t = x_f.ext_t
     p_in = group.pts[..., :3]
-    # P_comp = ext^-1 (lt^-1 (pt (ext p + t_ext) + (pt_t - lt_t)) - t_ext)
-    pl_imu = so3.quat_rotate(pq, so3.quat_rotate(ext_q[:, None], p_in) + ext_t[:, None])
-    T_ei = pp - lt_t[:, None, :]
-    in_lt = so3.quat_rotate_inv(
-        jnp.broadcast_to(lt_q[:, None], pq.shape), pl_imu + T_ei
-    )
-    p_deskew = so3.quat_rotate_inv(
-        jnp.broadcast_to(ext_q[:, None], pq.shape), in_lt - ext_t[:, None]
-    )
-    pts_deskewed = jnp.where(pok[..., None], p_deskew, p_in)
+    if cfg.pallas_deskew:
+        # fused kernel path: per-LiDAR calls (ext/lt change per LiDAR)
+        from .ops.deskew_pallas import deskew_points
+        import jax as _jax
+
+        interp = _jax.default_backend() == "cpu"
+        outs = []
+        for l in range(L):
+            o = deskew_points(
+                group.pts[l],
+                sp.cps[:, :3, :3],
+                sp.cps[:, :3, 3],
+                sp.logs,
+                sp.t0,
+                sp.num_valid,
+                spl.CONTROL_DT,
+                so3.quat_to_mat(ext_q[l]),
+                ext_t[l],
+                so3.quat_to_mat(lt_q[l]),
+                lt_t[l],
+                interpret=interp,
+            )
+            outs.append(o)
+        o = jnp.stack(outs)
+        pts_deskewed = o[..., :3]
+    else:
+        pq, pp, pok = spl.get_pose_batch(sp, flat_t)
+        pq = pq.reshape(L, -1, 4)
+        pp = pp.reshape(L, -1, 3)
+        pok = pok.reshape(L, -1)
+        # P_comp = ext^-1 (lt^-1 (pt (ext p + t_ext) + (pt_t - lt_t)) - t_ext)
+        pl_imu = so3.quat_rotate(
+            pq, so3.quat_rotate(ext_q[:, None], p_in) + ext_t[:, None]
+        )
+        T_ei = pp - lt_t[:, None, :]
+        in_lt = so3.quat_rotate_inv(
+            jnp.broadcast_to(lt_q[:, None], pq.shape), pl_imu + T_ei
+        )
+        p_deskew = so3.quat_rotate_inv(
+            jnp.broadcast_to(ext_q[:, None], pq.shape), in_lt - ext_t[:, None]
+        )
+        pts_deskewed = jnp.where(pok[..., None], p_deskew, p_in)
 
     # epoch index per point: #{hist times in (pt_t, t[cp0]]} - 1  (:484-494)
     rank = jnp.searchsorted(masked_t, flat_t, side="right").reshape(L, -1)
