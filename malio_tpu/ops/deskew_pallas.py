@@ -127,12 +127,31 @@ def _kernel(
     b1 = (1.0 + 3.0 * u + 3.0 * u * u - 2.0 * u * u * u) / 6.0
     b2 = (u * u * u) / 6.0
 
-    # gather control data (VMEM-resident tables, dynamic row indexing)
-    P0R = tuple(cps_R_ref[j - 1, k] for k in range(9))
-    P0t = tuple(cps_t_ref[j - 1, k] for k in range(3))
-    d0 = tuple(logs_ref[j - 1, k] for k in range(6))
-    d1 = tuple(logs_ref[j, k] for k in range(6))
-    d2 = tuple(logs_ref[j + 1, k] for k in range(6))
+    # gather control data via one-hot matmuls (per-lane VMEM gathers do
+    # not lower on Mosaic; a (BLOCK, C) x (C, K) dot rides the MXU)
+    C = cps_R_ref.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (j.shape[0], C), 1)
+    jm = j[:, None]
+    f32 = pts.dtype
+    oh_m1 = (col == jm - 1).astype(f32)
+    oh_0 = (col == jm).astype(f32)
+    oh_p1 = (col == jm + 1).astype(f32)
+
+    def dot(oh, table):
+        return jax.lax.dot_general(
+            oh, table[...], (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    P0R_m = dot(oh_m1, cps_R_ref)  # (BLOCK, 9)
+    P0t_m = dot(oh_m1, cps_t_ref)  # (BLOCK, 3)
+    d0_m = dot(oh_m1, logs_ref)  # (BLOCK, 6)
+    d1_m = dot(oh_0, logs_ref)
+    d2_m = dot(oh_p1, logs_ref)
+    P0R = tuple(P0R_m[:, k] for k in range(9))
+    P0t = tuple(P0t_m[:, k] for k in range(3))
+    d0 = tuple(d0_m[:, k] for k in range(6))
+    d1 = tuple(d1_m[:, k] for k in range(6))
+    d2 = tuple(d2_m[:, k] for k in range(6))
 
     A0R, A0t = _exp_se3_lane(b0, d0)
     A1R, A1t = _exp_se3_lane(b1, d1)
