@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import so3
-from . import state as st
 
 
 class KeyframeWindow(NamedTuple):

@@ -7,7 +7,6 @@ seek/resume (the file player can seek but the reference estimator cannot
 re-localize; with this it can resume exactly)."""
 from __future__ import annotations
 
-import io
 import pathlib
 
 import numpy as np

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .so3 import hat, exp_so3_mat, A_matrix, _safe_sqrt_n2
+from .so3 import hat, exp_so3_mat, A_matrix
 
 _SMALL = 1e-7
 

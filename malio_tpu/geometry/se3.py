@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .so3 import hat, exp_so3_mat, log_so3_mat, quat_to_mat, mat_to_quat, _safe_sqrt_n2
+from .so3 import hat, log_so3_mat, quat_to_mat, mat_to_quat, _safe_sqrt_n2
 
 _SMALL = 1e-6
 

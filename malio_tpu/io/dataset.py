@@ -24,7 +24,6 @@ Preprocess semantics re-derived from preprocess.cpp:
 """
 from __future__ import annotations
 
-import os
 import pathlib
 
 import numpy as np

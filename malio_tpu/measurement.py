@@ -9,7 +9,7 @@ localization weight. All data-dependent selection is masking.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Any
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,6 @@ plus the structured tracing the reference lacks (SURVEY §5)."""
 from __future__ import annotations
 
 import json
-import os
 import resource
 import sys
 import time

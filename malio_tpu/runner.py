@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from . import state as st
 from . import pipeline
 from . import propagate as prop
-from .filter import dynamics
 
 
 @dataclasses.dataclass
