@@ -11,7 +11,8 @@ import numpy as np
 
 
 def synthetic_batched_benchmark(
-    batch=16, duration=6.0, points=2048, dtype=None, chunk=16, warmup=8
+    batch=16, duration=6.0, points=2048, dtype=None, chunk=16, warmup=8,
+    single_search=False,
 ):
     """Run B synthetic sequences through the vmapped step; returns a dict
     with aggregate scans/s and per-sequence aligned ATE."""
@@ -49,6 +50,7 @@ def synthetic_batched_benchmark(
         det_range=60.0,
         plane_th=0.1,
         cov_threshold=30.0,
+        single_search=single_search,
     )
 
     seqs = []

@@ -17,6 +17,7 @@ def main():
     ap.add_argument("--duration", type=float, default=6.0)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--single-search", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -29,7 +30,8 @@ def main():
     from malio_tpu.batched import synthetic_batched_benchmark
 
     res = synthetic_batched_benchmark(
-        batch=args.batch, duration=args.duration, points=args.points
+        batch=args.batch, duration=args.duration, points=args.points,
+        single_search=args.single_search,
     )
     r = res
     print(
