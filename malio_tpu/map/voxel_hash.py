@@ -53,10 +53,6 @@ class VoxelHashMap(NamedTuple):
     occupied: jnp.ndarray  # (C,) bool
     points: jnp.ndarray  # (C, 3) point stored in the voxel
     covs: jnp.ndarray  # (C,) stored covariance (normal_y)
-    frac: jnp.ndarray  # (C, 4) f16 [in-voxel fraction xyz, cov] — the
-    # k-NN fast path gathers this 8-byte record instead of 16 bytes of
-    # f32 point+cov and reconstructs p = (key + frac) * voxel from the
-    # locally-known neighbor key (0.5 mm quantization at 0.4 m voxels)
     # static metadata carried as python floats/ints via functools closures is
     # avoided; voxel_size rides along as a 0-d array
     voxel_size: jnp.ndarray  # () f32
@@ -70,15 +66,7 @@ def create(capacity: int, voxel_size: float, dtype=jnp.float32) -> VoxelHashMap:
         occupied=jnp.zeros((capacity,), bool),
         points=jnp.zeros((capacity, 3), dtype),
         covs=jnp.full((capacity,), jnp.inf, dtype),
-        frac=jnp.zeros((capacity, 4), jnp.float16),
         voxel_size=jnp.asarray(voxel_size, dtype),
-    )
-
-
-def _pack_frac(m: VoxelHashMap, pts, keys, covs):
-    f = pts / m.voxel_size - keys.astype(pts.dtype)
-    return jnp.concatenate(
-        [f.astype(jnp.float16), covs[:, None].astype(jnp.float16)], axis=-1
     )
 
 
@@ -154,7 +142,6 @@ def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
         )[:-1]
         winner = improves & (tie_id[slot] == jnp.arange(N))
         w_slot = jnp.where(winner, slot, C)
-        fr = _pack_frac(m, pts, keys, covs)
         new_points = (
             jnp.concatenate([m.points, jnp.zeros((1, 3), m.points.dtype)])
             .at[w_slot]
@@ -165,12 +152,7 @@ def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
             .at[w_slot]
             .set(covs)
         )[:-1]
-        new_frac = (
-            jnp.concatenate([m.frac, jnp.zeros((1, 4), jnp.float16)])
-            .at[w_slot]
-            .set(fr)
-        )[:-1]
-        m = m._replace(points=new_points, covs=new_covs, frac=new_frac)
+        m = m._replace(points=new_points, covs=new_covs)
         pending = pending & ~found  # matched candidates are done (win or lose)
 
         # 2. claim an empty slot for still-pending candidates: first empty
@@ -214,18 +196,8 @@ def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
             .at[w_slot]
             .set(True)
         )[:-1]
-        new_frac = (
-            jnp.concatenate([m.frac, jnp.zeros((1, 4), jnp.float16)])
-            .at[w_slot]
-            .set(_pack_frac(m, pts, keys, covs))
-        )[:-1]
         m = m._replace(
-            keys=new_keys,
-            fp=new_fp,
-            points=new_points,
-            covs=new_covs,
-            occupied=new_occ,
-            frac=new_frac,
+            keys=new_keys, fp=new_fp, points=new_points, covs=new_covs, occupied=new_occ
         )
         pending = pending & ~winner
         return m, pending
@@ -281,10 +253,8 @@ def knn(m: VoxelHashMap, queries, k: int = NUM_MATCH_POINTS, radius: int = 1):
     first = jnp.argmax(match, axis=-1)
     cell_slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
 
-    # 8-byte f16 record gather; positions reconstruct from the neighbor key
-    cand_fr = m.frac[cell_slot].astype(m.points.dtype)  # (Q, V, 4)
-    cand_pts = (nkeys.astype(m.points.dtype) + cand_fr[..., :3]) * m.voxel_size
-    cand_cov = cand_fr[..., 3]
+    cand_pts = m.points[cell_slot]  # (Q, V, 3)
+    cand_cov = m.covs[cell_slot]  # (Q, V)
 
     diff = cand_pts - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)

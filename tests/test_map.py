@@ -78,10 +78,8 @@ def test_knn_matches_bruteforce():
         # 27-neighborhood so only compare when all brute-force NN are within
         # the search region (true for this dense patch)
         if np.sqrt(d2[-1]) < 0.5:  # all within one voxel radius
-            # k-NN reconstructs positions from the f16 in-voxel fraction:
-            # ~0.2 mm quantization -> d2 tolerance ~1e-3
             np.testing.assert_allclose(
-                np.sort(np.asarray(nn_d2[i])), np.sort(d2), atol=2e-3
+                np.sort(np.asarray(nn_d2[i])), np.sort(d2), atol=1e-9
             )
     assert bool(jnp.all(nn_cnt == 5))
 
