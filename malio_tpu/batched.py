@@ -106,11 +106,19 @@ def synthetic_batched_benchmark(
         bases.append(b0)
 
     n_rounds = min(len(s) for s in streams)
+    # full chunks only: the benchmark scans each chunk as ONE dispatch
+    n_rounds -= n_rounds % chunk
     batched_carry = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
-    vstep = jax.jit(jax.vmap(lambda c, g: pipeline.step(cfg, c, g)))
+    vscan = jax.jit(
+        lambda c, gs: jax.lax.scan(
+            lambda cc, g: jax.vmap(lambda c1, g1: pipeline.step(cfg, c1, g1))(cc, g),
+            c,
+            gs,
+        )
+    )
 
     np_dtype = np.float32
-    outs = []
+    outs = []  # (stacked StepOutput with leading (K, B), bases (K, B))
     t_mark = None
     n_done = 0
     prev_bases = list(bases)
@@ -124,22 +132,23 @@ def synthetic_batched_benchmark(
         gb = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs, axis=1), *[p[0] for p in per_seq]
         )
-        for k in range(min(chunk, n_rounds - c0)):
-            gk = jax.tree_util.tree_map(lambda a: a[k], gb)
-            batched_carry, out = vstep(batched_carry, gk)
-            outs.append((out, [p[1][k] for p in per_seq]))
-            n_done += 1
-            if n_done == warmup:
-                out.pos.block_until_ready()
-                t_mark = time.perf_counter()
+        batched_carry, stacked = vscan(batched_carry, gb)
+        outs.append((stacked, np.stack([p[1] for p in per_seq], axis=1)))
+        n_done += chunk
+        if t_mark is None and n_done >= warmup:
+            stacked.pos.block_until_ready()
+            t_mark = time.perf_counter()
+            n_warm = n_done
     outs[-1][0].pos.block_until_ready()
     t_end = time.perf_counter()
-    agg = (n_done - warmup) * B / (t_end - t_mark) if t_mark else float("nan")
+    agg = (n_done - n_warm) * B / (t_end - t_mark) if t_mark else float("nan")
 
     ates = []
     for b in range(B):
-        pos = np.stack([np.asarray(o.pos[b]) for o, _ in outs])
-        ts = np.asarray([float(o.end_time[b]) + bs[b] for o, bs in outs])
+        pos = np.concatenate([np.asarray(o.pos[:, b]) for o, _ in outs])
+        ts = np.concatenate(
+            [np.asarray(o.end_time[:, b]) + bs[:, b] for o, bs in outs]
+        )
         gt = seqs[b][1].pos(ts)
         ates.append(ate.ate_rmse(pos, gt))
     return dict(aggregate_scans_per_sec=agg, per_seq=agg / B, ates=ates, rounds=n_done)

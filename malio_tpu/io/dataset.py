@@ -58,6 +58,10 @@ SENSOR_DIRS = {
 # lid_type codes (preprocess.h:15)
 AVIA, VELO16, OUST64 = 1, 2, 3
 
+# TIME_UNIT enum (preprocess.h:16) -> scale of the raw per-point time field
+# into milliseconds (preprocess.cpp:23-39): SEC=0, MS=1, US=2, NS=3
+TIME_UNIT_SCALE = {0: 1e3, 1: 1.0, 2: 1e-3, 3: 1e-6}
+
 
 def read_imu_csv(path):
     """xsens_imu.csv -> (N, 7) [t_sec, gyro(3), acc(3)], absolute seconds.
@@ -156,16 +160,60 @@ def list_scan_files(root, sensor):
     return files
 
 
-def load_sequence(root, sensors, lid_types, point_filter_num, n_scans, blind=0.0):
+def group_rounds_by_time(stamps_per_stream, period=None):
+    """Timestamp-proximity round grouping (ApproximateTime semantics,
+    laserMapping.cpp:902-913): for each round, the pivot is the latest
+    stream head; every stream contributes its scan CLOSEST to the pivot,
+    and any file jumped over is dropped for that round only. A missing
+    scan file therefore desynchronizes one round, not the rest of the
+    sequence (round-1 bug: index-paired grouping drifted forever).
+
+    stamps_per_stream: list of sorted 1-D stamp arrays (seconds).
+    Returns a list of per-round index tuples (one index per stream)."""
+    n_streams = len(stamps_per_stream)
+    if period is None:
+        diffs = np.diff(stamps_per_stream[0])
+        period = float(np.median(diffs)) if diffs.size else 0.1
+    ptrs = [0] * n_streams
+    rounds = []
+    while all(p < len(st) for p, st in zip(ptrs, stamps_per_stream)):
+        pivot = max(st[p] for p, st in zip(ptrs, stamps_per_stream))
+        sel = []
+        for s in range(n_streams):
+            st = stamps_per_stream[s]
+            i = ptrs[s]
+            while i + 1 < len(st) and abs(st[i + 1] - pivot) <= abs(st[i] - pivot):
+                i += 1
+            sel.append(i)
+        rounds.append(tuple(sel))
+        ptrs = [i + 1 for i in sel]
+    return rounds
+
+
+def load_sequence(
+    root,
+    sensors,
+    lid_types,
+    point_filter_num,
+    n_scans,
+    blind=0.0,
+    timestamp_unit=0,
+    time_offset_lidar_to_imu=0.0,
+):
     """Load a full dataset sequence -> (imu (N,7) rel-sec, rounds).
 
     sensors: list of sensor keys in physical-LiDAR order (e.g.
-    ["ouster", "livox_avia", "livox_tele"] for City). Rounds pair the i-th
-    scan of each sensor after aligning leading files to within half a scan
-    period (the replay-side equivalent of ApproximateTime sync,
-    laserMapping.cpp:902-913)."""
+    ["ouster", "livox_avia", "livox_tele"] for City). Rounds are grouped by
+    timestamp proximity (`group_rounds_by_time`). IMU stamps are shifted by
+    -time_offset_lidar_to_imu (imu_cbk, laserMapping.cpp:255);
+    timestamp_unit scales the raw per-point time fields (preprocess.h:16,
+    parameters.cpp:52)."""
     root = pathlib.Path(root)
     imu = read_imu_csv(root / "sensor_data" / "xsens_imu.csv")
+    if imu.size:
+        imu = imu.copy()
+        imu[:, 0] -= time_offset_lidar_to_imu
+    unit_scale = TIME_UNIT_SCALE[int(timestamp_unit)]
     per = []
     for si, s in enumerate(sensors):
         files = list_scan_files(root, s)
@@ -185,25 +233,26 @@ def load_sequence(root, sensors, lid_types, point_filter_num, n_scans, blind=0.0
     period = np.median(np.diff(per[0][1])) if len(per[0][1]) > 1 else 0.1
     t_start = max(p[1][0] for p in per)
     starts = [int(np.searchsorted(p[1], t_start - period / 2)) for p in per]
-    n_rounds = min(len(p[0]) - s for p, s in zip(per, starts))
+    sel_rounds = group_rounds_by_time(
+        [p[1][s:] for p, s in zip(per, starts)], period=float(period)
+    )
 
     t0 = min(imu[0, 0] if imu.size else np.inf, min(p[1][s] for p, s in zip(per, starts)))
     if imu.size:
-        imu = imu.copy()
         imu[:, 0] -= t0
 
     rounds = []
-    for k in range(n_rounds):
+    for sel in sel_rounds:
         rnd = []
         for si, (s, (files, stamps), st) in enumerate(zip(sensors, per, starts)):
-            f = files[st + k]
-            beg = stamps[st + k] - t0
+            f = files[st + sel[si]]
+            beg = stamps[st + sel[si]] - t0
             if lid_types[si] == OUST64:
-                pts, dur = decode_ouster(f, point_filter_num[si], blind)
+                pts, dur = decode_ouster(f, point_filter_num[si], blind, unit_scale)
             elif lid_types[si] == AVIA:
                 pts, dur = decode_livox(f, point_filter_num[si], n_scans[si], blind)
             else:
-                pts, dur = decode_velodyne(f, point_filter_num[si], blind)
+                pts, dur = decode_velodyne(f, point_filter_num[si], blind, unit_scale)
             pts[:, 3] += beg  # per-point absolute relative time
             rnd.append(dict(beg_t=beg, end_t=beg + dur, pts=pts))
         rounds.append(rnd)

@@ -14,11 +14,21 @@ Policy parity with the reference (not a port of its pointer machinery):
   * k-NN returns the 5 nearest stored points with their covariances,
     searched over the (2r+1)^3 voxel neighborhood of the query.
 
-Implementation: fixed-capacity open-addressing hash table in device memory.
-Slots store voxel coords, point, covariance. Lookups probe a fixed number of
-slots (no early exit — SIMD-friendly and deletion-safe). Insertion is a
-data-parallel claim protocol: match-first lookup, then scatter-min races to
-claim empty slots, repeated for a fixed number of rounds.
+Storage layout (round-2 redesign, driven by TPU gather cost — the round-1
+profile showed the map was bound by the NUMBER of random HBM gathers, not
+bytes):
+
+  * one packed record row per slot: rec[(x, y, z, cov)] — a 16 B aligned
+    row fetched with a single gather instead of two;
+  * a separate int32 fingerprint array `fp` (0 = empty). The probe window
+    is CONTIGUOUS: the table is over-allocated by MAX_PROBE rows so probe
+    sequences never wrap, and each probe window is fetched with ONE
+    slice-gather of MAX_PROBE words instead of MAX_PROBE scalar gathers;
+  * query and insert use the SAME probe depth (round 1 probed 4 on query
+    vs 8 on insert, silently losing points at high load factors);
+  * the final over-allocated row (index C + MAX_PROBE - 1) can never be
+    reached by any probe sequence and serves as the scatter dump row for
+    losing insert candidates.
 
 All operations are jit-safe, vmap-based, fixed-shape.
 """
@@ -40,7 +50,6 @@ _F2 = jnp.int32(1274126177)
 _F3 = jnp.int32(868864169)
 
 MAX_PROBE = 8
-KNN_PROBE = 4  # query-side probe depth; entries past it are simply missed
 # two rounds resolve all matches plus batch-duplicate losers (a dropped
 # claim re-offers itself on the next scan anyway)
 INSERT_ROUNDS = 2
@@ -48,25 +57,38 @@ NUM_MATCH_POINTS = 5  # common_lib.h:22
 
 
 class VoxelHashMap(NamedTuple):
-    keys: jnp.ndarray  # (C, 3) int32 voxel coords
-    fp: jnp.ndarray  # (C,) int32 key fingerprint; 0 = empty slot
-    occupied: jnp.ndarray  # (C,) bool
-    points: jnp.ndarray  # (C, 3) point stored in the voxel
-    covs: jnp.ndarray  # (C,) stored covariance (normal_y)
-    # static metadata carried as python floats/ints via functools closures is
-    # avoided; voxel_size rides along as a 0-d array
+    fp: jnp.ndarray  # (C + MAX_PROBE,) int32 key fingerprint; 0 = empty
+    rec: jnp.ndarray  # (C + MAX_PROBE, 4) packed [x, y, z, cov]
     voxel_size: jnp.ndarray  # () f32
+    n_dropped: jnp.ndarray  # () int32 cumulative insert overflow drops
+
+    # convenience views (not pytree leaves)
+    @property
+    def capacity(self) -> int:
+        return self.fp.shape[0] - MAX_PROBE
+
+    @property
+    def occupied(self) -> jnp.ndarray:
+        return self.fp != 0
+
+    @property
+    def points(self) -> jnp.ndarray:
+        return self.rec[..., :3]
+
+    @property
+    def covs(self) -> jnp.ndarray:
+        return self.rec[..., 3]
 
 
 def create(capacity: int, voxel_size: float, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+    T = capacity + MAX_PROBE
+    rec = jnp.zeros((T, 4), dtype).at[:, 3].set(jnp.inf)
     return VoxelHashMap(
-        keys=jnp.zeros((capacity, 3), jnp.int32),
-        fp=jnp.zeros((capacity,), jnp.int32),
-        occupied=jnp.zeros((capacity,), bool),
-        points=jnp.zeros((capacity, 3), dtype),
-        covs=jnp.full((capacity,), jnp.inf, dtype),
+        fp=jnp.zeros((T,), jnp.int32),
+        rec=rec,
         voxel_size=jnp.asarray(voxel_size, dtype),
+        n_dropped=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -82,32 +104,31 @@ def _hash(keys, capacity):
 def _fingerprint(keys):
     """Nonzero 32-bit fingerprint of a voxel key (0 is reserved for empty).
 
-    The k-NN fast path compares fingerprints instead of full keys — one
-    i32 gather per probe instead of 3 i32 + occupancy. A collision
-    (~2^-32) momentarily offers a far-away candidate point, which the
-    distance top-k then discards."""
+    Identity checks compare fingerprints instead of full keys — one word
+    per probe instead of 3 + occupancy. A collision (~2^-32) momentarily
+    offers a far-away candidate point, which the distance top-k then
+    discards (or, on insert, merges two voxels under the lowest-cov
+    policy — benign)."""
     f = (keys[..., 0] * _F1) ^ (keys[..., 1] * _F2) ^ (keys[..., 2] * _F3)
     return jnp.where(f == 0, jnp.int32(1), f)
 
 
-def _probe_slots(keys, capacity, n_probe=MAX_PROBE):
-    """(..., n_probe) candidate slot indices for each key."""
-    h = _hash(keys, capacity)
-    offs = jnp.arange(n_probe, dtype=jnp.int32)
-    return (h[..., None] + offs) & jnp.int32(capacity - 1)
+def _probe_fp(m: VoxelHashMap, h):
+    """Fetch each probe window's fingerprints with one contiguous
+    slice-gather per key: (...,) start indices -> (..., MAX_PROBE) i32."""
+    flat = h.reshape(-1)
+    out = jax.vmap(lambda s: jax.lax.dynamic_slice(m.fp, (s,), (MAX_PROBE,)))(flat)
+    return out.reshape(h.shape + (MAX_PROBE,))
 
 
 def lookup(m: VoxelHashMap, keys):
-    """Find the slot holding each key via the fingerprint fast path.
-    Returns (slot (...,), found (...,)) with slot == 0 when not found
-    (mask with `found`). A fingerprint collision (~2^-32) merges two
-    voxels' points under the lowest-covariance policy — benign."""
-    C = m.keys.shape[0]
-    slots = _probe_slots(keys, C)  # (..., P)
-    match = m.fp[slots] == _fingerprint(keys)[..., None]
+    """Find the slot holding each key. Returns (slot (...,), found (...,))
+    with slot == 0 when not found (mask with `found`)."""
+    C = m.capacity
+    h = _hash(keys, C)
+    match = _probe_fp(m, h) == _fingerprint(keys)[..., None]
     found = jnp.any(match, axis=-1)
-    first = jnp.argmax(match, axis=-1)
-    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    slot = h + jnp.argmax(match, axis=-1).astype(jnp.int32)
     return jnp.where(found, slot, 0), found
 
 
@@ -116,94 +137,69 @@ def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
 
     Policy: a voxel keeps the lowest-covariance point offered to it
     (ikd_Tree.cpp:504-522). Candidates whose voxel cell cannot be claimed
-    within INSERT_ROUNDS * MAX_PROBE probes are dropped (overflow)."""
-    C = m.keys.shape[0]
+    within INSERT_ROUNDS passes are dropped (overflow) and counted in
+    `n_dropped`."""
+    C = m.capacity
+    T = m.fp.shape[0]
+    DUMP = T - 1  # unreachable by any probe sequence (max slot = C+MAX_PROBE-2)
     N = pts.shape[0]
+    dtype = m.rec.dtype
     keys = voxel_key(m, pts)
+    want = _fingerprint(keys)
+    h = _hash(keys, C)
+    cand_rec = jnp.concatenate([pts.astype(dtype), covs.astype(dtype)[:, None]], -1)
+    cand_id = jnp.arange(N, dtype=jnp.int32)
     pending = mask
 
     def round_body(_, carry):
         m, pending = carry
+        probe_fp = _probe_fp(m, h)  # (N, P)
+        match = probe_fp == want[:, None]
+        found = jnp.any(match, axis=-1)
+        slot = h + jnp.argmax(match, axis=-1).astype(jnp.int32)
+
         # 1. match-first: update existing cells by scatter-min on covariance
-        slot, found = lookup(m, keys)
         upd = pending & found
-        upd_slot = jnp.where(upd, slot, C)  # C = dump row
-        cov_pad = jnp.where(upd, covs, jnp.inf)
-        # winner per slot: lowest covariance, ties by candidate index
-        cell_min = (
-            jnp.full((C + 1,), jnp.inf, m.covs.dtype).at[upd_slot].min(cov_pad)
-        )[:-1]
-        improves = upd & (cov_pad[: N] <= cell_min[slot]) & (cov_pad < m.covs[slot])
+        upd_slot = jnp.where(upd, slot, DUMP)
+        cov_pad = jnp.where(upd, covs, jnp.inf).astype(dtype)
+        cell_min = jnp.full((T,), jnp.inf, dtype).at[upd_slot].min(cov_pad)
+        improves = upd & (cov_pad <= cell_min[slot]) & (cov_pad < m.rec[slot, 3])
         # resolve exact ties deterministically by candidate id
         tie_id = (
-            jnp.full((C + 1,), N, jnp.int32)
-            .at[jnp.where(improves, slot, C)]
-            .min(jnp.arange(N, dtype=jnp.int32))
-        )[:-1]
-        winner = improves & (tie_id[slot] == jnp.arange(N))
-        w_slot = jnp.where(winner, slot, C)
-        new_points = (
-            jnp.concatenate([m.points, jnp.zeros((1, 3), m.points.dtype)])
-            .at[w_slot]
-            .set(pts)
-        )[:-1]
-        new_covs = (
-            jnp.concatenate([m.covs, jnp.zeros((1,), m.covs.dtype)])
-            .at[w_slot]
-            .set(covs)
-        )[:-1]
-        m = m._replace(points=new_points, covs=new_covs)
+            jnp.full((T,), N, jnp.int32)
+            .at[jnp.where(improves, slot, DUMP)]
+            .min(cand_id)
+        )
+        winner = improves & (tie_id[slot] == cand_id)
+        w_slot = jnp.where(winner, slot, DUMP)
+        m = m._replace(rec=m.rec.at[w_slot].set(cand_rec))
         pending = pending & ~found  # matched candidates are done (win or lose)
 
-        # 2. claim an empty slot for still-pending candidates: first empty
-        #    slot in the probe sequence; scatter-min candidate id to resolve
-        slots = _probe_slots(keys, C)  # (N, P)
-        empty = ~m.occupied[slots]
+        # 2. claim the first empty probe slot for still-pending candidates;
+        #    scatter-min candidate id resolves races
+        empty = probe_fp == 0
         has_empty = jnp.any(empty, axis=-1)
-        first_empty = jnp.argmax(empty, axis=-1)
-        tgt = jnp.take_along_axis(slots, first_empty[..., None], axis=-1)[..., 0]
+        tgt = h + jnp.argmax(empty, axis=-1).astype(jnp.int32)
         claim = pending & has_empty
-        c_slot = jnp.where(claim, tgt, C)
-        claim_id = (
-            jnp.full((C + 1,), N, jnp.int32)
-            .at[c_slot]
-            .min(jnp.arange(N, dtype=jnp.int32))
-        )[:-1]
-        winner = claim & (claim_id[tgt] == jnp.arange(N))
-        w_slot = jnp.where(winner, tgt, C)
-        new_keys = (
-            jnp.concatenate([m.keys, jnp.zeros((1, 3), jnp.int32)])
-            .at[w_slot]
-            .set(keys)
-        )[:-1]
-        new_fp = (
-            jnp.concatenate([m.fp, jnp.zeros((1,), jnp.int32)])
-            .at[w_slot]
-            .set(_fingerprint(keys))
-        )[:-1]
-        new_points = (
-            jnp.concatenate([m.points, jnp.zeros((1, 3), m.points.dtype)])
-            .at[w_slot]
-            .set(pts)
-        )[:-1]
-        new_covs = (
-            jnp.concatenate([m.covs, jnp.zeros((1,), m.covs.dtype)])
-            .at[w_slot]
-            .set(covs)
-        )[:-1]
-        new_occ = (
-            jnp.concatenate([m.occupied, jnp.zeros((1,), bool)])
-            .at[w_slot]
-            .set(True)
-        )[:-1]
+        c_slot = jnp.where(claim, tgt, DUMP)
+        claim_id = jnp.full((T,), N, jnp.int32).at[c_slot].min(cand_id)
+        winner = claim & (claim_id[tgt] == cand_id)
+        w_slot = jnp.where(winner, tgt, DUMP)
         m = m._replace(
-            keys=new_keys, fp=new_fp, points=new_points, covs=new_covs, occupied=new_occ
+            fp=m.fp.at[w_slot].set(want),
+            rec=m.rec.at[w_slot].set(cand_rec),
         )
         pending = pending & ~winner
         return m, pending
 
-    m, _pending = jax.lax.fori_loop(0, INSERT_ROUNDS, round_body, (m, pending))
-    return m
+    m, pending = jax.lax.fori_loop(0, INSERT_ROUNDS, round_body, (m, pending))
+    # scrub the dump row and account overflow
+    rec = m.rec.at[DUMP].set(jnp.zeros((4,), dtype).at[3].set(jnp.inf))
+    return m._replace(
+        fp=m.fp.at[DUMP].set(0),
+        rec=rec,
+        n_dropped=m.n_dropped + jnp.sum(pending).astype(jnp.int32),
+    )
 
 
 def evict_outside(m: VoxelHashMap, box_min, box_max) -> VoxelHashMap:
@@ -212,9 +208,8 @@ def evict_outside(m: VoxelHashMap, box_min, box_max) -> VoxelHashMap:
     inside = jnp.all((m.points >= box_min) & (m.points <= box_max), axis=-1)
     keep = m.occupied & inside
     return m._replace(
-        occupied=keep,
-        covs=jnp.where(keep, m.covs, jnp.inf),
         fp=jnp.where(keep, m.fp, jnp.int32(0)),
+        rec=m.rec.at[:, 3].set(jnp.where(keep, m.rec[:, 3], jnp.inf)),
     )
 
 
@@ -233,28 +228,25 @@ def knn(m: VoxelHashMap, queries, k: int = NUM_MATCH_POINTS, radius: int = 1):
     Replaces ikd-tree Nearest_Search (ikd_Tree.cpp:1073-1255); the caller
     applies the reference's acceptance rule (found >= 5 and 5th dist^2 <= 5,
     laserMapping.cpp:587).
+
+    Cost shape: per query, V=(2r+1)^3 fingerprint slice-gathers (32 B
+    contiguous each) + V packed-record gathers (16 B each); all selection
+    afterwards is in-register VPU work.
     """
-    C = m.keys.shape[0]
-    Q = queries.shape[0]
+    C = m.capacity
     d = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
     offs = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), axis=-1).reshape(-1, 3)
-    V = offs.shape[0]
 
     qkeys = voxel_key(m, queries)  # (Q, 3)
     nkeys = qkeys[:, None, :] + offs[None, :, :]  # (Q, V, 3)
-    slots = _probe_slots(nkeys, C, KNN_PROBE)  # (Q, V, P)
-    # fast path: probe on the 1-word fingerprint only (empty slots are 0,
-    # so no separate occupancy gather); then gather point data for the
-    # single matching slot per neighbor cell
-    want = _fingerprint(nkeys)  # (Q, V)
-    cand_fp = m.fp[slots]  # (Q, V, P) — the only per-probe gather
-    match = cand_fp == want[..., None]
+    h = _hash(nkeys, C)  # (Q, V)
+    match = _probe_fp(m, h) == _fingerprint(nkeys)[..., None]  # (Q, V, P)
     found = jnp.any(match, axis=-1)  # (Q, V)
-    first = jnp.argmax(match, axis=-1)
-    cell_slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    cell_slot = h + jnp.argmax(match, axis=-1).astype(jnp.int32)
 
-    cand_pts = m.points[cell_slot]  # (Q, V, 3)
-    cand_cov = m.covs[cell_slot]  # (Q, V)
+    cand = m.rec[cell_slot]  # (Q, V, 4) — the only random gather
+    cand_pts = cand[..., :3]
+    cand_cov = cand[..., 3]
 
     diff = cand_pts - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)

@@ -53,6 +53,8 @@ class HShareCache(NamedTuple):
     searched: jnp.ndarray  # (M,) bool: NN pass result
     selected: jnp.ndarray  # (M,) bool: final effective mask
     normal_y: jnp.ndarray  # (M,) per-point covariance for map insertion
+    nn_pts: jnp.ndarray  # (M, k, 3) last-search neighbors (map_incremental)
+    nn_cnt: jnp.ndarray  # (M,) int32 neighbors found
 
 
 def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
@@ -64,6 +66,8 @@ def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
         searched=jnp.zeros((M,), bool),
         selected=jnp.zeros((M,), bool),
         normal_y=jnp.zeros((M,), dtype),
+        nn_pts=jnp.zeros((M, NUM_MATCH, 3), dtype),
+        nn_cnt=jnp.zeros((M,), jnp.int32),
     )
 
 
@@ -175,7 +179,10 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
                 jnp.asarray(cfg.plane_th, dtype),
                 jnp.asarray(cfg.cov_threshold, dtype),
             )
-            return normal, d, plane_valid, plane_cov, searched, searched
+            return (
+                normal, d, plane_valid, plane_cov, searched, searched,
+                nn_pts, nn_cnt.astype(jnp.int32),
+            )
 
         def reuse(_):
             return (
@@ -185,11 +192,12 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
                 cache.plane_cov,
                 cache.searched,
                 cache.selected,
+                cache.nn_pts,
+                cache.nn_cnt,
             )
 
-        normal, d, plane_valid, plane_cov, searched, prev_sel = jax.lax.cond(
-            search, do_search, reuse, None
-        )
+        (normal, d, plane_valid, plane_cov, searched, prev_sel, nn_pts,
+         nn_cnt) = jax.lax.cond(search, do_search, reuse, None)
         selected = prev_sel
         pd2 = jnp.sum(normal * p_world, axis=-1) + d
         r_base = jnp.linalg.norm(p_base, axis=-1)
@@ -290,6 +298,8 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
             searched=searched,
             selected=selected,
             normal_y=normal_y,
+            nn_pts=nn_pts,
+            nn_cnt=nn_cnt,
         )
         res = HShareResult(valid=valid, h=hw, H=Hw, R=R_eff, mask=selected)
         return res, new_cache

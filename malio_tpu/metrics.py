@@ -45,6 +45,8 @@ class MetricsLogger:
             "iterations": int(out.iterations),
             "n_effective": int(out.n_effective),
             "map_size": int(out.map_size),
+            "map_load": round(float(out.map_load), 4),
+            "map_dropped": int(out.map_dropped),
             "n_insert": int(out.n_insert),
             "compute_ms": round(dt * 1000, 2),
             "distance_m": round(self.total_distance, 3),
@@ -64,7 +66,8 @@ class MetricsLogger:
             f"[Position]           x={rec['pos'][0]:+.3f}  y={rec['pos'][1]:+.3f}  z={rec['pos'][2]:+.3f} m",
             f"[Orientation wxyz]   {np.round(rec['quat'], 4).tolist()}",
             f"[Effective points]   {rec['n_effective']}   [IEKF iterations] {rec['iterations']}",
-            f"[Map voxels]         {rec['map_size']}   (+{rec['n_insert']} offered)",
+            f"[Map voxels]         {rec['map_size']}   (+{rec['n_insert']} offered, "
+            f"load {rec['map_load']:.2f}, dropped {rec['map_dropped']})",
             f"[Total distance]     {rec['distance_m']:.2f} m",
             f"[Compute]            {rec['compute_ms']:.1f} ms  (avg {avg_ms:.1f} ms)",
             f"[RSS]                {rss_mb:.0f} MB",

@@ -48,6 +48,7 @@ class LioCarry(NamedTuple):
     box_init: jnp.ndarray  # () bool
     map_init: jnp.ndarray  # () bool
     step_count: jnp.ndarray  # () int32
+    first_t: jnp.ndarray  # () first round's scan-begin (current time frame)
 
 
 class StepOutput(NamedTuple):
@@ -57,6 +58,8 @@ class StepOutput(NamedTuple):
     iterations: jnp.ndarray
     n_effective: jnp.ndarray
     map_size: jnp.ndarray
+    map_load: jnp.ndarray  # () live load factor (size / capacity)
+    map_dropped: jnp.ndarray  # () cumulative insert-overflow drops
     n_insert: jnp.ndarray  # points passing the covariance gate
     med_normal_y: jnp.ndarray  # median stored covariance this round
     kf_pts: jnp.ndarray  # (M_DS, 3) base-LiDAR points in the IMU body frame
@@ -81,6 +84,7 @@ def init_carry(cfg, x0: st.State, P0, Q, dtype=jnp.float32) -> LioCarry:
         box_init=jnp.asarray(False),
         map_init=jnp.asarray(False),
         step_count=jnp.asarray(0, jnp.int32),
+        first_t=jnp.asarray(0.0, dtype),
     )
 
 
@@ -123,6 +127,18 @@ def _points_to_world(x: st.State, pts, pt_lidar, base, tc_q, tc_t):
     tct = tc_t[pt_lidar]
     in_imu = so3.quat_rotate(tcq, so3.quat_rotate(eq, pts) + et) + tct
     return so3.quat_rotate(x.rot[None], in_imu) + x.pos[None]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def scan_steps(cfg, carry: LioCarry, groups: prop.MeasureGroup):
+    """Run `step` over a time-stacked chunk of K measure groups (leaves have
+    leading axis K) in ONE device dispatch via lax.scan.
+
+    Per-round dispatch through the remote-TPU relay costs a host round-trip
+    per fusion round; scanning a chunk amortizes it K-fold while compiling
+    the loop body only once. Semantically identical to K sequential `step`
+    calls (same carry threading)."""
+    return jax.lax.scan(lambda c, g: step(cfg, c, g), carry, groups)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -247,7 +263,35 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
     world_pts = _points_to_world(
         upd.x, flat_pts, flat_lidar, und.base, und.tc_q, und.tc_t
     )
-    ins_mask = flat_mask & (normal_y <= cfg.cov_threshold)
+    # flg_EKF_inited (laserMapping.cpp:989, INIT_TIME at :37): first
+    # init_time seconds bypass the dedup prefilter. Times are rebased per
+    # group, so the remembered first-scan time shifts with t_shift.
+    first_t = jnp.where(
+        carry.step_count == 0,
+        jnp.min(group.beg_t),
+        carry.first_t - group.t_shift,
+    )
+    ekf_inited = (jnp.min(group.beg_t) - first_t) >= cfg.init_time
+    # need_add prefilter (laserMapping.cpp:411-438): against the update's
+    # LAST search neighbors, drop a candidate whose voxel already holds a
+    # neighbor closer to the voxel center — unless the nearest neighbor
+    # lies outside the voxel in every axis (NoNeedDownsample).
+    fs = cfg.filter_size_map
+    mid = (jnp.floor(world_pts / fs) + 0.5) * fs
+    dist_mid = jnp.sum((world_pts - mid) ** 2, axis=-1)
+    nn = upd.cache.nn_pts  # (M, k, 3)
+    k_valid = jnp.arange(nn.shape[1])[None, :] < upd.cache.nn_cnt[:, None]
+    near0_far = jnp.all(jnp.abs(nn[:, 0] - mid) > 0.5 * fs, axis=-1)
+    nn_d_mid = jnp.sum((nn - mid[:, None, :]) ** 2, axis=-1)
+    # the reference's inner loop runs only with a full 5-neighbor set
+    full_set = upd.cache.nn_cnt >= meas.NUM_MATCH
+    nn_closer = jnp.any((nn_d_mid < dist_mid[:, None]) & k_valid, axis=-1) & full_set
+    need_add = near0_far | ~nn_closer
+    # gate ~ "!Nearest_Points[i].empty() && flg_EKF_inited"
+    prefilter = jnp.where(
+        (upd.cache.nn_cnt > 0) & ekf_inited & carry.map_init, need_add, True
+    )
+    ins_mask = flat_mask & (normal_y <= cfg.cov_threshold) & prefilter
     map_state = vh.insert(map_state, world_pts, normal_y, ins_mask)
 
     new_carry = LioCarry(
@@ -265,6 +309,7 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
         box_init=box_init,
         map_init=jnp.asarray(True),
         step_count=carry.step_count + 1,
+        first_t=first_t,
     )
     out = StepOutput(
         pos=upd.x.pos,
@@ -273,6 +318,8 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
         iterations=upd.iterations,
         n_effective=jnp.sum(upd.cache.selected),
         map_size=vh.size(map_state),
+        map_load=vh.size(map_state).astype(dtype) / cfg.map_capacity,
+        map_dropped=map_state.n_dropped,
         n_insert=jnp.sum(ins_mask),
         med_normal_y=jnp.nanmedian(jnp.where(flat_mask, normal_y, jnp.nan)),
         kf_pts=so3.quat_rotate(upd.x.ext_r[und.base][None], ds_pts[und.base])

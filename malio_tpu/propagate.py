@@ -178,7 +178,9 @@ def _append(h: History, t, q, p, cov, inp, valid):
 
     return History(
         t=put(h.t, t), q=put(h.q, q), p=put(h.p, p), cov=put(h.cov, cov),
-        inp=put(h.inp, inp), n=h.n + jnp.sum(valid.astype(jnp.int32)),
+        # dtype=int32: under x64 jnp.sum would promote to int64 and break
+        # the lax.scan carry-type invariant (scan_steps)
+        inp=put(h.inp, inp), n=h.n + jnp.sum(valid, dtype=jnp.int32),
     )
 
 

@@ -201,10 +201,21 @@ def run_sequence(
         last_imu=carry.last_imu.at[0].add(jnp.asarray(-base0, dtype))
     )
     prev_base = base0
+    # per-round hooks force per-round dispatch; otherwise a whole chunk is
+    # one lax.scan dispatch (one host<->device round-trip per K rounds)
+    use_scan = callback is None and smoother is None
     for c0 in range(start, len(groups), prefetch_chunk):
         chunk = groups[c0 : c0 + prefetch_chunk]
         gdev, bases = _stack_chunk(chunk, np_dtype, prev_base)
         prev_base = float(bases[-1])
+        if use_scan and len(chunk) == prefetch_chunk:
+            carry, stacked = pipeline.scan_steps(cfg, carry, gdev)
+            host = {k: np.asarray(getattr(stacked, k)) for k in small}
+            for k in range(len(chunk)):
+                rec = {f: host[f][k] for f in small}
+                rec["end_time"] = rec["end_time"] + float(bases[k])
+                outs.append(rec)
+            continue
         chunk_outs = []
         for k in range(len(chunk)):
             group = jax.tree_util.tree_map(lambda a: a[k], gdev)

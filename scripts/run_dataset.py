@@ -87,6 +87,8 @@ def main():
         list(cfg.point_filter_num),
         list(cfg.n_scans),
         cfg.blind,
+        timestamp_unit=cfg.timestamp_unit,
+        time_offset_lidar_to_imu=cfg.time_offset_lidar_to_imu,
     )
     if args.skip_rounds:
         rounds = rounds[args.skip_rounds :]

@@ -112,3 +112,76 @@ def test_load_sequence_rounds(tmp_path):
     # per-point times are absolute (relative to sequence t0)
     assert r0[0]["pts"][0, 3] >= r0[0]["beg_t"] - 1e-9
     assert r0[0]["end_t"] > r0[0]["beg_t"]
+
+
+def test_dropped_file_desyncs_one_round(tmp_path):
+    """ApproximateTime semantics: a missing scan file in one stream costs
+    one round; later rounds re-align by timestamp (round-1 index pairing
+    drifted for the rest of the sequence)."""
+    base = 10**18
+    ks = list(range(8))
+    for k in ks:
+        r = np.zeros(20, ds.OUSTER_DTYPE)
+        r["x"] = 5.0
+        r["t"] = (np.arange(20) * 1.8e6).astype(np.uint32)
+        _write(tmp_path, "ouster", base + k * 10**8, r)
+    for k in ks:
+        if k == 3:
+            continue  # dropped file in the livox stream
+        r2 = np.zeros(20, ds.LIVOX_DTYPE)
+        r2["x"] = 6.0
+        r2["line"] = 0
+        r2["offset_time"] = (np.arange(20) * 1.8e6).astype(np.uint32)
+        _write(tmp_path, "livox_avia", base + 10**7 + k * 10**8, r2)
+    imu_rows = []
+    for i in range(200):
+        t = base - 10**8 + i * 10**7
+        imu_rows.append(f"{t},0,0,0,1,0,0,0,0,0,9.81")
+    (tmp_path / "sensor_data" / "xsens_imu.csv").write_text("\n".join(imu_rows))
+
+    imu, rounds = ds.load_sequence(
+        tmp_path, ["ouster", "livox_avia"], [ds.OUST64, ds.AVIA], [1, 1], [8, 8]
+    )
+    # every surviving round pairs scans within half a period
+    paired = 0
+    for rnd in rounds:
+        dt = abs(rnd[1]["beg_t"] - rnd[0]["beg_t"])
+        if dt <= 0.05 + 1e-9:
+            paired += 1
+    assert paired >= len(ks) - 2, (paired, len(rounds))
+
+
+def test_imu_time_offset_applied(tmp_path):
+    base = 10**18
+    for k in range(3):
+        r = np.zeros(20, ds.OUSTER_DTYPE)
+        r["x"] = 5.0
+        r["t"] = (np.arange(20) * 1.8e6).astype(np.uint32)
+        _write(tmp_path, "ouster", base + k * 10**8, r)
+    (tmp_path / "sensor_data" / "xsens_imu.csv").write_text(
+        "\n".join(f"{base + i * 10**7},0,0,0,1,0,0,0,0,0,9.81" for i in range(20))
+    )
+    imu0, rounds0 = ds.load_sequence(
+        tmp_path, ["ouster"], [ds.OUST64], [1], [8]
+    )
+    imu1, rounds1 = ds.load_sequence(
+        tmp_path, ["ouster"], [ds.OUST64], [1], [8],
+        time_offset_lidar_to_imu=0.05,
+    )
+    # IMU stream moves 50 ms earlier relative to the scans
+    d0 = imu0[0, 0] - rounds0[0][0]["beg_t"]
+    d1 = imu1[0, 0] - rounds1[0][0]["beg_t"]
+    # f64 resolution at absolute-ns stamps (~1e9 s) is ~0.1 us
+    np.testing.assert_allclose(d0 - d1, 0.05, atol=1e-6)
+
+
+def test_velodyne_timestamp_unit(tmp_path):
+    n = 10
+    r = np.zeros(n, ds.VELODYNE_DTYPE)
+    r["x"] = 3.0
+    r["time"] = np.linspace(0, 90000.0, n).astype(np.float32)  # microseconds
+    f = _write(tmp_path, "vlp_left", 10**18, r)
+    pts, dur = ds.decode_velodyne(
+        f, point_filter_num=1, time_unit_scale=ds.TIME_UNIT_SCALE[2]
+    )
+    np.testing.assert_allclose(dur, 0.09, atol=1e-6)

@@ -122,3 +122,55 @@ def test_reinsert_after_evict_no_duplicates():
     m = vh.insert(m, p, jnp.asarray([0.2]), jnp.ones(1, bool))
     m = vh.insert(m, p, jnp.asarray([0.3]), jnp.ones(1, bool))
     assert int(vh.size(m)) == 1
+
+
+def test_high_occupancy_recall():
+    """Round-1 regression: query probed 4 slots while insert probed 8, so
+    points stored at probe offsets 4-7 were invisible to k-NN at realistic
+    load factors. Query/insert now share MAX_PROBE; every stored point must
+    be findable by a query at its own location (d2 == 0), and the voxel-
+    region 5-NN must agree with brute force, at >= 50% load."""
+    cap = 1 << 13
+    m = vh.create(cap, 0.5, jnp.float64)
+    # ~0.6 * cap distinct voxels
+    n = int(cap * 0.6)
+    side = int(np.ceil(n ** (1 / 3)))
+    g = np.stack(
+        np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)[:n]
+    pts = g * 0.5 + 0.25 + rng.normal(size=(n, 3)) * 0.05
+    m = vh.insert(m, jnp.asarray(pts), jnp.full((n,), 0.1), jnp.ones(n, bool))
+    occ = int(vh.size(m))
+    load = occ / cap
+    assert load >= 0.5, load
+
+    stored = np.asarray(m.points[np.asarray(m.occupied)])
+    nn_pts, _, nn_d2, nn_cnt = vh.knn(m, jnp.asarray(stored), k=5, radius=1)
+    # self-recall: the query IS a stored point, so the nearest hit is itself
+    self_found = np.asarray(nn_d2[:, 0]) < 1e-18
+    recall = self_found.mean()
+    assert recall >= 0.999, f"self-recall {recall:.4f} at load {load:.2f}"
+
+    # region-restricted brute force agreement on a sample
+    skeys = np.floor(stored / 0.5).astype(np.int64)
+    sample = rng.choice(occ, size=64, replace=False)
+    for qi in sample:
+        q = stored[qi]
+        qkey = np.floor(q / 0.5).astype(np.int64)
+        in_region = np.all(np.abs(skeys - qkey[None]) <= 1, axis=-1)
+        region = stored[in_region]
+        d2 = np.sort(np.sum((region - q[None]) ** 2, -1))[:5]
+        got = np.sort(np.asarray(nn_d2[qi]))[: len(d2)]
+        np.testing.assert_allclose(got, d2, atol=1e-9)
+
+
+def test_insert_overflow_counted():
+    """Candidates that cannot claim a slot are dropped and counted."""
+    cap = 8
+    m = vh.create(cap, 0.5, jnp.float64)
+    pts = jnp.asarray(rng.uniform(-50, 50, size=(200, 3)))
+    m = vh.insert(m, pts, jnp.full((200,), 0.1), jnp.ones(200, bool))
+    assert int(vh.size(m)) <= cap + vh.MAX_PROBE - 1
+    assert int(m.n_dropped) > 0
+    # dropped + stored covers every distinct offered voxel at most once
+    assert int(vh.size(m)) + int(m.n_dropped) >= 8
