@@ -27,6 +27,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .geometry import so3
@@ -62,9 +63,9 @@ def push_keyframe(win: KeyframeWindow, q, t, pts, mask) -> KeyframeWindow:
     )
 
 
-_PC1 = jnp.uint32(73856093)
-_PC2 = jnp.uint32(19349663)
-_PC3 = jnp.uint32(83492791)
+_PC1 = np.uint32(73856093)
+_PC2 = np.uint32(19349663)
+_PC3 = np.uint32(83492791)
 
 
 def _cell_ids(world_pts, cell_size, num_cells):

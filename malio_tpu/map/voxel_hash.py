@@ -38,16 +38,17 @@ import functools
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 # spatial hash primes (Teschner et al.)
-_P1 = jnp.int32(73856093)
-_P2 = jnp.int32(19349663)
-_P3 = jnp.int32(83492791)
+_P1 = np.int32(73856093)
+_P2 = np.int32(19349663)
+_P3 = np.int32(83492791)
 # independent primes for the 32-bit fingerprint fast path
-_F1 = jnp.int32(1540483477)
-_F2 = jnp.int32(1274126177)
-_F3 = jnp.int32(868864169)
+_F1 = np.int32(1540483477)
+_F2 = np.int32(1274126177)
+_F3 = np.int32(868864169)
 
 MAX_PROBE = 8
 # two rounds resolve all matches plus batch-duplicate losers (a dropped
@@ -114,11 +115,15 @@ def _fingerprint(keys):
 
 
 def _probe_fp(m: VoxelHashMap, h):
-    """Fetch each probe window's fingerprints with one contiguous
-    slice-gather per key: (...,) start indices -> (..., MAX_PROBE) i32."""
-    flat = h.reshape(-1)
-    out = jax.vmap(lambda s: jax.lax.dynamic_slice(m.fp, (s,), (MAX_PROBE,)))(flat)
-    return out.reshape(h.shape + (MAX_PROBE,))
+    """Fetch each probe window's fingerprints: (...,) start indices ->
+    (..., MAX_PROBE) i32 via one batched gather.
+
+    Expressed as a plain advanced-index gather rather than vmapped
+    dynamic_slice: both measure identically on the chip (~0.1 ms for 166k
+    windows), but the vmapped-slice form crashed the TPU worker when
+    composed under scan(vmap(step)) at B>=16 (round-2 debugging)."""
+    idx = h[..., None] + jnp.arange(MAX_PROBE, dtype=jnp.int32)
+    return m.fp[idx]
 
 
 def lookup(m: VoxelHashMap, keys):

@@ -12,11 +12,12 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-_P1 = jnp.uint32(73856093)
-_P2 = jnp.uint32(19349663)
-_P3 = jnp.uint32(83492791)
+_P1 = np.uint32(73856093)
+_P2 = np.uint32(19349663)
+_P3 = np.uint32(83492791)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
