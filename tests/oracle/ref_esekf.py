@@ -1,0 +1,265 @@
+"""NumPy transliteration of the reference's iterated ESKF propagation
+machinery (include/IKFoM_toolkit/esekfom/esekfom.hpp + src/use-ikfom.hpp,
+paths relative /root/reference/MA_LIO).
+
+Independent oracle: shares no code with malio_tpu.filter. The state layout
+is the MTK_BUILD_MANIFOLD of use-ikfom.hpp:14-27, generalized to L LiDARs:
+
+  tangent (n = 17+6L)              flatted (m = 18+6L)
+  pos      0:3                     0:3
+  rot      3:6                     3:6
+  offset_R_l  6+3l : 9+3l          same
+  offset_T_l  6+3L+3l : ...        same
+  vel      6+6L : 9+6L             same
+  bg       9+6L : 12+6L            same
+  ba       12+6L : 15+6L           same
+  grav     15+6L : 17+6L (2 DOF)   15+6L : 18+6L (3 dims)
+
+Quaternions are [w, x, y, z] Hamilton (the reference's Eigen quaternions
+hold the same rotations with xyzw storage).
+"""
+import copy
+
+import numpy as np
+
+from . import ref_math as rm
+
+S2_LENGTH = 98090.0 / 10000.0  # MTK::S2<double, 98090, 10000, 1>, use-ikfom.hpp:8
+
+
+class RefState:
+    """state_ikfom for L LiDARs."""
+
+    def __init__(self, L):
+        self.L = L
+        self.pos = np.zeros(3)
+        self.rot = np.array([1.0, 0, 0, 0])
+        self.ext_r = [np.array([1.0, 0, 0, 0]) for _ in range(L)]
+        self.ext_t = [np.zeros(3) for _ in range(L)]
+        self.vel = np.zeros(3)
+        self.bg = np.zeros(3)
+        self.ba = np.zeros(3)
+        self.grav = np.array([0.0, 0.0, -S2_LENGTH])
+
+    def copy(self):
+        return copy.deepcopy(self)
+
+    # manifold segment tables, as built by build_*_state (esekfom.hpp:165-167
+    # via the MTK macro): (idx = tangent start, dim = flatted start)
+    def vect_state(self):
+        L = self.L
+        segs = [(0, 0, 3)]  # pos
+        for l in range(L):
+            segs.append((6 + 3 * L + 3 * l, 6 + 3 * L + 3 * l, 3))  # offset_T_l
+        base = 6 + 6 * L
+        segs += [(base, base, 3), (base + 3, base + 3, 3), (base + 6, base + 6, 3)]
+        return segs
+
+    def so3_state(self):
+        L = self.L
+        return [(3, 3)] + [(6 + 3 * l, 6 + 3 * l) for l in range(L)]
+
+    def s2_state(self):
+        L = self.L
+        return [(15 + 6 * L, 15 + 6 * L)]
+
+    def oplus(self, f, dt):
+        """MTK manifold oplus with a flatted (m,) vector and scale dt."""
+        L = self.L
+        self.pos = self.pos + f[0:3] * dt
+        self.rot = rm.so3_boxplus(self.rot, f[3:6], dt)
+        for l in range(L):
+            self.ext_r[l] = rm.so3_boxplus(self.ext_r[l], f[6 + 3 * l : 9 + 3 * l], dt)
+            o = 6 + 3 * L + 3 * l
+            self.ext_t[l] = self.ext_t[l] + f[o : o + 3] * dt
+        b = 6 + 6 * L
+        self.vel = self.vel + f[b : b + 3] * dt
+        self.bg = self.bg + f[b + 3 : b + 6] * dt
+        self.ba = self.ba + f[b + 6 : b + 9] * dt
+        self.grav = rm.s2_oplus(self.grav, f[b + 9 : b + 12], dt)
+
+    def boxplus(self, dx):
+        """Tangent (n,) boxplus — used by the update."""
+        L = self.L
+        self.pos = self.pos + dx[0:3]
+        self.rot = rm.so3_boxplus(self.rot, dx[3:6])
+        for l in range(L):
+            self.ext_r[l] = rm.so3_boxplus(self.ext_r[l], dx[6 + 3 * l : 9 + 3 * l])
+            o = 6 + 3 * L + 3 * l
+            self.ext_t[l] = self.ext_t[l] + dx[o : o + 3]
+        b = 6 + 6 * L
+        self.vel = self.vel + dx[b : b + 3]
+        self.bg = self.bg + dx[b + 3 : b + 6]
+        self.ba = self.ba + dx[b + 6 : b + 9]
+        self.grav = rm.s2_boxplus(self.grav, dx[b + 9 : b + 11], S2_LENGTH)
+
+    def boxminus(self, other):
+        """self (-) other -> (n,) tangent."""
+        L = self.L
+        n = 17 + 6 * L
+        dx = np.zeros(n)
+        dx[0:3] = self.pos - other.pos
+        dx[3:6] = rm.so3_boxminus(self.rot, other.rot)
+        for l in range(L):
+            dx[6 + 3 * l : 9 + 3 * l] = rm.so3_boxminus(
+                self.ext_r[l], other.ext_r[l]
+            )
+            o = 6 + 3 * L + 3 * l
+            dx[o : o + 3] = self.ext_t[l] - other.ext_t[l]
+        b = 6 + 6 * L
+        dx[b : b + 3] = self.vel - other.vel
+        dx[b + 3 : b + 6] = self.bg - other.bg
+        dx[b + 6 : b + 9] = self.ba - other.ba
+        dx[b + 9 : b + 11] = rm.s2_boxminus(self.grav, other.grav, S2_LENGTH)
+        return dx
+
+
+def get_f(s, acc, gyro):
+    """use-ikfom.hpp:71-85."""
+    L = s.L
+    m = 18 + 6 * L
+    res = np.zeros(m)
+    omega = gyro - s.bg
+    a_inertial = rm.quat_rot(s.rot, acc - s.ba)
+    res[0:3] = s.vel
+    res[3:6] = omega
+    res[6 * (L + 1) : 6 * (L + 1) + 3] = a_inertial + s.grav
+    return res
+
+
+def df_dx(s, acc, gyro):
+    """use-ikfom.hpp:87-104 -> (m, n)."""
+    L = s.L
+    m = 18 + 6 * L
+    n = m - 1
+    cov = np.zeros((m, n))
+    cov[0:3, 6 * (L + 1) : 6 * (L + 1) + 3] = np.eye(3)
+    acc_ = acc - s.ba
+    cov[6 * (L + 1) : 6 * (L + 1) + 3, 3:6] = -rm.quat_to_mat(s.rot) @ rm.hat(acc_)
+    cov[6 * (L + 1) : 6 * (L + 1) + 3, 6 * (L + 2) : 6 * (L + 2) + 3] = -rm.quat_to_mat(
+        s.rot
+    )
+    grav_matrix = rm.s2_mx(s.grav, np.zeros(2), S2_LENGTH)
+    cov[6 * (L + 1) : 6 * (L + 1) + 3, 6 * (L + 2) + 3 : 6 * (L + 2) + 5] = grav_matrix
+    cov[3:6, 6 * (L + 1) + 3 : 6 * (L + 1) + 6] = -np.eye(3)
+    return cov
+
+
+def df_dw(s, acc, gyro):
+    """use-ikfom.hpp:107-116 -> (m, 12); noise order [ng, na, nbg, nba]."""
+    L = s.L
+    m = 18 + 6 * L
+    cov = np.zeros((m, 12))
+    cov[6 * (L + 1) : 6 * (L + 1) + 3, 3:6] = -rm.quat_to_mat(s.rot)
+    cov[3:6, 0:3] = -np.eye(3)
+    cov[6 * (L + 1) + 3 : 6 * (L + 1) + 6, 6:9] = np.eye(3)
+    cov[6 * (L + 2) : 6 * (L + 2) + 3, 9:12] = np.eye(3)
+    return cov
+
+
+def predict_core(x, P, dt, Q, acc, gyro):
+    """The shared body of esekfom predict / back_predict / predict_cont
+    (esekfom.hpp:388-492 / :279-385 / :171-277 — the three are verbatim
+    copies differing only in which stored state they mutate).
+
+    Mutates x in place (oplus) and returns the new covariance."""
+    L = x.L
+    m = 18 + 6 * L
+    n = m - 1
+    f_ = get_f(x, acc, gyro)
+    f_x_ = df_dx(x, acc, gyro)
+    f_w_ = df_dw(x, acc, gyro)
+    x_before = x.copy()
+    x.oplus(f_, dt)
+
+    F_x1 = np.eye(n)
+    f_x_final = np.zeros((n, n))
+    f_w_final = np.zeros((n, 12))
+    for idx, dim, dof in x.vect_state():
+        f_x_final[idx : idx + dof, :] = f_x_[dim : dim + dof, :]
+        f_w_final[idx : idx + dof, :] = f_w_[dim : dim + dof, :]
+    for idx, dim in x.so3_state():
+        seg_so3 = -1.0 * f_[dim : dim + 3] * dt
+        res_q = rm.mtk_exp_quat(seg_so3, 0.5)
+        F_x1[idx : idx + 3, idx : idx + 3] = rm.quat_to_mat(res_q)
+        A = rm.A_matrix(seg_so3)
+        f_x_final[idx : idx + 3, :] = A @ f_x_[dim : dim + 3, :]
+        f_w_final[idx : idx + 3, :] = A @ f_w_[dim : dim + 3, :]
+    for idx, dim in x.s2_state():
+        seg_s2 = f_[dim : dim + 3] * dt
+        res_q = rm.mtk_exp_quat(seg_s2, 0.5)
+        R_res = rm.quat_to_mat(res_q)
+        Nx = rm.s2_nx_yy(x.grav, S2_LENGTH)  # on x_ AFTER oplus
+        Mx = rm.s2_mx(x_before.grav, np.zeros(2), S2_LENGTH)  # on x_before
+        F_x1[idx : idx + 2, idx : idx + 2] = Nx @ R_res @ Mx
+        x_before_hat = rm.s2_hat(x_before.grav)
+        temp = -Nx @ R_res @ x_before_hat @ rm.A_matrix(seg_s2).T
+        f_x_final[idx : idx + 2, :] = temp @ f_x_[dim : dim + 3, :]
+        f_w_final[idx : idx + 2, :] = temp @ f_w_[dim : dim + 3, :]
+
+    F = F_x1 + f_x_final * dt
+    P_new = F @ P @ F.T + (dt * f_w_final) @ Q @ (dt * f_w_final).T
+    return P_new
+
+
+class RefEsekf:
+    """esekfom::esekf with the three parallel propagation tracks:
+    (x_, P_) main, (x_unc, P_unc_) backward, (x_cont, P_unc_) continuation
+    (esekfom.hpp:739-757)."""
+
+    def __init__(self, L):
+        self.L = L
+        self.x_ = RefState(L)
+        n = 17 + 6 * L
+        self.P_ = np.eye(n)
+        self.x_unc = RefState(L)
+        self.x_cont = RefState(L)
+        self.P_unc_ = np.eye(n)
+
+    def predict(self, dt, Q, acc, gyro):
+        """esekfom.hpp:388-492."""
+        self.P_ = predict_core(self.x_, self.P_, dt, Q, acc, gyro)
+
+    def back_predict(self, dt, Q, acc, gyro):
+        """esekfom.hpp:279-385: runs on (x_unc, P_unc_)."""
+        self.P_unc_ = predict_core(self.x_unc, self.P_unc_, dt, Q, acc, gyro)
+        return self.x_unc
+
+    def predict_cont(self, dt, Q, acc, gyro):
+        """esekfom.hpp:171-277: runs on (x_cont, P_unc_)."""
+        self.P_unc_ = predict_core(self.x_cont, self.P_unc_, dt, Q, acc, gyro)
+        return self.x_cont
+
+    def prepare_back(self):
+        self.x_unc = self.x_.copy()  # esekfom.hpp:739-741
+
+    def prepare_cont(self):
+        self.x_cont = self.x_.copy()  # esekfom.hpp:743-745
+
+    def propagate_cov(self):
+        self.P_unc_ = self.P_.copy()  # esekfom.hpp:747-750
+
+    def get_uncertainty(self):
+        """esekfom.hpp:760-767: top-left 6x6 of P_ ([trans; rot] order)."""
+        return self.P_[:6, :6].copy()
+
+    def get_U(self):
+        """esekfom.hpp:769-776: top-left 6x6 of P_unc_."""
+        return self.P_unc_[:6, :6].copy()
+
+    def get_extrinsic_uncertainty(self, num):
+        """esekfom.hpp:778-786 ([trans; rot] order for LiDAR num)."""
+        L = self.L
+        it = 6 + 3 * (L + num)  # offset_T_num
+        ir = 6 + 3 * num  # offset_R_num
+        U = np.zeros((6, 6))
+        U[:3, :3] = self.P_[it : it + 3, it : it + 3]
+        U[:3, 3:] = self.P_[it : it + 3, ir : ir + 3]
+        U[3:, 3:] = self.P_[ir : ir + 3, ir : ir + 3]
+        U[3:, :3] = self.P_[ir : ir + 3, it : it + 3]
+        return U
+
+    def change_pos(self, q, t):
+        """esekfom.hpp:788-796."""
+        self.x_.rot = np.asarray(q, float)
+        self.x_.pos = np.asarray(t, float)

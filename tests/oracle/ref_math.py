@@ -131,15 +131,16 @@ def A_matrix(v):
 # ---- S2 manifold (gravity), S2_typ=3, length = G (9.81 scaled) ----
 
 def s2_bx(vec, length):
-    """S2.hpp:189-206 (S2_typ == 3 branch)."""
-    if vec[2] + length > TOL:
+    """S2.hpp:226-241 — the S2_typ == 1 (pole axis x) branch: use-ikfom.hpp
+    instantiates MTK::S2<double, 98090, 10000, 1>, and the template order is
+    (scalar, den, num, S2_typ), so den=98090, num=10000, typ=1."""
+    x, y, z = vec[0], vec[1], vec[2]
+    if x + length > TOL:
         res = np.array(
             [
-                [length - vec[0] * vec[0] / (length + vec[2]),
-                 -vec[0] * vec[1] / (length + vec[2])],
-                [-vec[0] * vec[1] / (length + vec[2]),
-                 length - vec[1] * vec[1] / (length + vec[2])],
-                [-vec[0], -vec[1]],
+                [-y, -z],
+                [length - y * y / (length + x), -z * y / (length + x)],
+                [-z * y / (length + x), length - z * z / (length + x)],
             ]
         )
         return res / length

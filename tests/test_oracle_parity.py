@@ -1,0 +1,369 @@
+"""Field-by-field parity between malio_tpu and the NumPy reference oracle
+(tests/oracle/*): the strongest City-ATE proxy available without the
+dataset (VERDICT round 1, item 4).
+
+The oracle transliterates UndistortPcl (IMU_Processing.hpp:210-523) and
+h_share_model (laserMapping.cpp:552-760) line-faithfully; malio_tpu is the
+batched TPU re-design. Exact agreement is asserted wherever the semantics
+coincide; the two DOCUMENTED divergences are quantified with explicit
+bounds instead:
+
+  * epoch-chain pose time: the reference samples the uncertainty-chain
+    pose at the first POINT below each history boundary; malio samples at
+    the boundary itself (<= one point spacing apart);
+  * the reference's deskew loop never processes the earliest point of each
+    cloud (``for (; it_pcl != begin(); it_pcl--)``), so that point is
+    excluded from the deskew/epoch comparison.
+
+Index mapping: the oracle uses the reference's sorted-by-end-time cloud
+order (num=0 is the base / latest-ending LiDAR); malio uses physical
+LiDAR indices. The scenario fixes physical order = ascending end time, so
+phys l <-> num = L-1-l.
+"""
+import numpy as np
+import pytest
+
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import jax.numpy as jnp
+
+from malio_tpu import propagate as prop
+from malio_tpu import state as st
+from malio_tpu.config import Config
+from malio_tpu.geometry import so3
+
+from oracle.ref_esekf import RefEsekf, RefState, S2_LENGTH
+from oracle.ref_undistort import RefImuProcess
+
+L = 3
+IMU_DT = 0.01  # 100 Hz
+GROUP_DT = 0.1
+NPTS = 48
+
+
+def _make_cfg():
+    return Config(
+        num_lidars=L,
+        lid_type=(3, 3, 3),
+        n_scans=(32,) * L,
+        point_filter_num=(1,) * L,
+        extrinsic_T=(0.2, 0.0, 0.1, -0.1, 0.3, 0.0, 0.0, -0.2, 0.15),
+        extrinsic_R=(
+            0.9912279, 0.0871557, 0.0, 0.0998334,  # arbitrary, normalized below
+            0.9950042, 0.0, 0.0998334, 0.0,
+            0.9997500, 0.0, 0.0, 0.0223606,
+        ),
+        max_raw_points=NPTS,
+        max_points_per_scan=NPTS,
+        max_imu_per_group=40,
+        imu_cont_len=16,
+        traj_capacity=96,
+        spline_capacity=96,
+        epoch_capacity=24,
+        map_capacity=1 << 10,
+    )
+
+
+def _imu_signal(t):
+    """Smooth synthetic IMU: gyro (rad/s) and raw acc (units of g)."""
+    gyro = np.stack(
+        [
+            0.35 * np.sin(2.1 * t),
+            0.25 * np.cos(1.7 * t + 0.3),
+            0.30 * np.sin(1.3 * t + 1.1),
+        ],
+        axis=-1,
+    )
+    acc = np.stack(
+        [
+            0.06 * np.sin(1.9 * t + 0.5),
+            0.05 * np.cos(2.3 * t),
+            1.0 + 0.04 * np.sin(1.1 * t),
+        ],
+        axis=-1,
+    )
+    return gyro, acc
+
+
+def _scenario(n_groups, rng):
+    """Absolute-time scenario: imu records + per-group scan windows/points."""
+    t_start = 100.0
+    total = t_start + (n_groups + 2) * GROUP_DT + 0.4
+    imu_t = np.arange(t_start, total, IMU_DT)
+    gyro, acc = _imu_signal(imu_t)
+    imu = np.concatenate([imu_t[:, None], gyro, acc], axis=-1)  # (N, 7)
+
+    groups = []
+    for g in range(n_groups):
+        # physical order == ascending end time: phys l ends at
+        # group_end - 0.012*(L-1-l). Scan ends sit MID-IMU-INTERVAL (5 ms
+        # from the 10 ms grid): an end on/near an IMU sample puts the next
+        # group's seed boundary within one point gap of an IMU boundary,
+        # and the reference's once-per-point cov_pointer walk then lags
+        # the epoch chain by one entry (malio ranks exactly). Real f64
+        # stamps make such coincidences measure-zero; the synthetic grid
+        # must dodge them explicitly.
+        g_end = t_start + 0.305 + 0.05 + g * GROUP_DT
+        ends = np.array([g_end - 0.012 * (L - 1 - l) for l in range(L)])
+        begs = ends - 0.095
+        pts = []
+        for l in range(L):
+            # strictly interior, sorted point times with max gap << 10 ms:
+            # the reference's epoch walk (cov_pointer, IMU_Processing.hpp
+            # :486-495) decrements at most once per point, so a point gap
+            # spanning TWO history boundaries lags its epoch chain by one —
+            # a sparse-cloud-only quirk malio does not reproduce (it ranks
+            # each point exactly). Dense spacing keeps both sides identical.
+            offs = np.linspace(0.004, 0.094, NPTS) + rng.uniform(
+                -0.0005, 0.0005, NPTS
+            )
+            offs = np.sort(offs)
+            # the scan END is the last point's stamp (as in real drivers);
+            # an artificial gap between them would span extra history
+            # boundaries and re-trigger the once-per-point walk quirk
+            offs[-1] = ends[l] - begs[l]
+            t_abs = begs[l] + offs
+            xyz = rng.uniform(-4.0, 4.0, (NPTS, 3))
+            pts.append(np.concatenate([xyz, t_abs[:, None]], axis=-1))
+        groups.append(dict(begs=begs, ends=ends, pts=pts))
+    return imu, groups
+
+
+def _initial_states(cfg):
+    """Matched (malio State, oracle RefState) with nontrivial values."""
+    extT = np.asarray(cfg.extrinsic_T, float).reshape(L, 3)
+    extR = np.asarray(cfg.extrinsic_R, float).reshape(L, 4)
+    extR = extR / np.linalg.norm(extR, axis=-1, keepdims=True)
+    rot0 = np.array([0.9990482, 0.0, 0.0436194, 0.0])
+    rot0 = rot0 / np.linalg.norm(rot0)
+    vel0 = np.array([0.5, -0.2, 0.1])
+    bg0 = np.array([0.002, -0.001, 0.0015])
+    ba0 = np.array([0.01, -0.005, 0.02])
+    tilt = np.array([0.9998477, 0.0174524, 0.0, 0.0])
+    grav0 = _qrot_np(tilt, np.array([0.0, 0.0, -S2_LENGTH]))
+
+    x = st.State(
+        pos=jnp.zeros(3, jnp.float64),
+        rot=jnp.asarray(rot0),
+        ext_r=jnp.asarray(extR),
+        ext_t=jnp.asarray(extT),
+        vel=jnp.asarray(vel0),
+        bg=jnp.asarray(bg0),
+        ba=jnp.asarray(ba0),
+        grav=jnp.asarray(grav0),
+    )
+    r = RefState(L)
+    r.pos = np.zeros(3)
+    r.rot = rot0.copy()
+    # oracle num <-> phys L-1-num
+    r.ext_r = [extR[L - 1 - num].copy() for num in range(L)]
+    r.ext_t = [extT[L - 1 - num].copy() for num in range(L)]
+    r.vel = vel0.copy()
+    r.bg = bg0.copy()
+    r.ba = ba0.copy()
+    r.grav = grav0.copy()
+    return x, r
+
+
+def _qrot_np(q, v):
+    uv = 2.0 * np.cross(q[1:], v)
+    return v + q[0] * uv + np.cross(q[1:], uv)
+
+
+def _perm_cov(P_phys, L):
+    """Permute a malio covariance (physical ext slots) into the oracle's
+    sorted-slot layout (num = L-1-phys)."""
+    n = P_phys.shape[0]
+    perm = list(range(n))
+    for num in range(L):
+        ph = L - 1 - num
+        for j in range(3):
+            perm[6 + 3 * num + j] = 6 + 3 * ph + j
+            perm[6 + 3 * L + 3 * num + j] = 6 + 3 * L + 3 * ph + j
+    P = P_phys[np.ix_(perm, perm)]
+    return P
+
+
+def _quat_close(qa, qb, atol):
+    qa = np.asarray(qa)
+    qb = np.asarray(qb)
+    return min(np.abs(qa - qb).max(), np.abs(qa + qb).max()) <= atol
+
+
+@pytest.mark.slow
+def test_undistort_matches_reference_oracle():
+    rng = np.random.default_rng(7)
+    cfg = _make_cfg()
+    n_groups = 3
+    imu, groups = _scenario(n_groups, rng)
+    imu_t = imu[:, 0]
+
+    x, rstate = _initial_states(cfg)
+    n = st.dof(L)
+    # random mild SPD covariance, identical on both sides
+    A = rng.normal(size=(n, n)) * 0.02
+    P0 = A @ A.T + np.eye(n) * 1e-3
+    Q = np.diag(
+        np.concatenate(
+            [np.full(3, 1e-4), np.full(3, 1e-4), np.full(3, 1e-5), np.full(3, 1e-5)]
+        )
+    )
+    mean_acc_norm = 1.0
+
+    kf = RefEsekf(L)
+    kf.x_ = rstate
+    kf.P_ = _perm_cov(P0, L)
+    imup = RefImuProcess(L, Q, mean_acc_norm)
+
+    # a synthetic "previous scan end" just before the first group (so the
+    # seed/backward/trim paths engage from group 0 on both sides), with
+    # last_imu_ = the latest IMU sample at or below it
+    base0 = float(groups[0]["begs"].min())
+    k0 = int(np.searchsorted(imu_t, base0 - 0.1))
+    last_end0 = float(imu_t[k0]) + 0.004
+    last_imu_abs = imu[k0]
+    imup.last_imu_ = last_imu_abs.copy()
+    imup.last_lidar_end_time_ = last_end0
+    imup.last_in = np.zeros(6)
+
+    P = jnp.asarray(P0)
+    hist = prop.empty_history(cfg.traj_capacity, jnp.float64)
+    last_in = jnp.zeros(6, jnp.float64)
+    # malio carry times are relative to the previous group base; entering
+    # group 0 the runner uses base0 itself (t_shift = 0)
+    last_end_t = jnp.asarray(last_end0 - base0, jnp.float64)
+    prev_base = base0
+    last_imu_rel = last_imu_abs.copy()
+    last_imu_rel[0] -= base0
+    cursor = k0 + 1
+
+    for g_i, g in enumerate(groups):
+        lidar_end = g["ends"].max()
+        hi = int(np.searchsorted(imu_t, lidar_end, side="right"))
+        meas_imu = imu[cursor:hi]
+        cont = np.concatenate([imu[hi - 1 : hi], imu[hi : hi + cfg.imu_cont_len - 1]])
+        cursor = hi
+
+        # ---- oracle side (absolute times, sorted-by-end cloud order) ----
+        meas = dict(
+            lidar_multi=[g["pts"][l].copy() for l in range(L)],  # ascending end
+            lidar_beg_time=[g["begs"][l] for l in range(L)],
+            lidar_end_time=[g["ends"][l] for l in range(L)],
+            imu=[r.copy() for r in meas_imu],
+            imu_cont=[r.copy() for r in cont],
+        )
+        # oracle clouds carry [x, y, z, offset_ms] like the reference
+        for l in range(L):
+            meas["lidar_multi"][l][:, 3] = (
+                meas["lidar_multi"][l][:, 3] - g["begs"][l]
+            ) * 1000.0
+        ref = imup.undistort(meas, kf)
+
+        # ---- malio side (relative times, physical cloud order) ----
+        base = float(g["begs"].min())
+        I = cfg.max_imu_per_group
+        imu_pad = np.zeros((I, 7))
+        imu_mask = np.zeros(I, bool)
+        imu_pad[: len(meas_imu)] = meas_imu
+        imu_pad[: len(meas_imu), 0] -= base
+        imu_mask[: len(meas_imu)] = True
+        IC = cfg.imu_cont_len
+        cont_pad = np.zeros((IC, 7))
+        cont_mask = np.zeros(IC, bool)
+        cont_pad[: len(cont)] = cont
+        cont_pad[: len(cont), 0] -= base
+        cont_mask[: len(cont)] = True
+        pts = np.stack(g["pts"])  # (L, P, 4) absolute times
+        pts = pts.copy()
+        pts[..., 3] -= base
+        group = prop.MeasureGroup(
+            pts=jnp.asarray(pts),
+            pts_mask=jnp.ones((L, NPTS), bool),
+            beg_t=jnp.asarray(g["begs"] - base),
+            end_t=jnp.asarray(g["ends"] - base),
+            imu=jnp.asarray(imu_pad),
+            imu_mask=jnp.asarray(imu_mask),
+            imu_cont=jnp.asarray(cont_pad),
+            imu_cont_mask=jnp.asarray(cont_mask),
+            t_shift=jnp.asarray(base - prev_base),
+        )
+        und = prop.undistort(
+            cfg, x, P, hist, group, jnp.asarray(Q),
+            last_in, jnp.asarray(last_imu_rel), last_end_t, mean_acc_norm,
+        )
+        x, P, hist = und.x, und.P, und.hist
+        last_in = und.last_in
+        last_imu_rel = np.asarray(und.last_imu)
+        last_end_t = jnp.asarray(float(g["ends"].max()) - base)
+        prev_base = base
+
+        # ================= comparisons =================
+        tag = f"group {g_i}"
+        # ---- filter state ----
+        rx = kf.x_
+        assert np.allclose(np.asarray(x.pos), rx.pos, atol=1e-9), tag
+        assert _quat_close(np.asarray(x.rot), rx.rot, 1e-9), tag
+        assert np.allclose(np.asarray(x.vel), rx.vel, atol=1e-9), tag
+        assert np.allclose(np.asarray(x.bg), rx.bg, atol=1e-12), tag
+        assert np.allclose(np.asarray(x.ba), rx.ba, atol=1e-12), tag
+        assert np.allclose(np.asarray(x.grav), rx.grav, atol=1e-9), tag
+        for num in range(L):
+            ph = L - 1 - num
+            assert _quat_close(np.asarray(x.ext_r[ph]), rx.ext_r[num], 1e-10), tag
+            assert np.allclose(np.asarray(x.ext_t[ph]), rx.ext_t[num], atol=1e-10), tag
+
+        # ---- covariance (oracle layout) ----
+        P_m = _perm_cov(np.asarray(P), L)
+        assert np.allclose(P_m, kf.P_, atol=1e-9), (
+            tag, np.abs(P_m - kf.P_).max())
+
+        # ---- deskewed points + epoch indices (skip the earliest point:
+        # the reference's loop never reaches begin()) ----
+        for num in range(L):
+            ph = L - 1 - num
+            got = np.asarray(und.pts_deskewed[ph])[1:]
+            want = ref["feats"][num][1:, :3]
+            assert np.allclose(got, want, atol=1e-8), (
+                tag, num, np.abs(got - want).max())
+            got_e = np.asarray(und.pt_epoch[ph])[1:]
+            want_e = ref["epoch_idx"][num][1:]
+            assert np.array_equal(got_e, want_e), (tag, num)
+
+        # ---- scan-end (lt) frames ----
+        assert int(und.base) == L - 1
+        for num in range(L):
+            ph = L - 1 - num
+            lt = ref["lt_lidar_frame"][num]
+            assert _quat_close(np.asarray(und.lt_q[ph]), lt.q, 1e-9), (tag, num)
+            assert np.allclose(np.asarray(und.lt_t[ph]), lt.t, atol=1e-9), (tag, num)
+            assert np.allclose(np.asarray(und.lt_cov[ph]), lt.cov, atol=1e-9), (
+                tag, num)
+
+        # ---- temporal compensation poses ----
+        for num in range(1, L):
+            ph = L - 1 - num
+            tc = ref["temporal_comp"][num - 1]
+            assert _quat_close(np.asarray(und.tc_q[ph]), tc.q, 1e-9), (tag, num)
+            assert np.allclose(np.asarray(und.tc_t[ph]), tc.t, atol=1e-9), (tag, num)
+            assert np.allclose(np.asarray(und.tc_cov[ph]), tc.cov, atol=1e-9), (
+                tag, num)
+
+        # ---- epoch uncertainty chains: QUANTIFIED divergence (pose time
+        # differs by <= one point spacing; covariances flow through the
+        # compound adjoints, so bound instead of exact-match) ----
+        for num in range(L):
+            ph = L - 1 - num
+            chain = ref["lidar_uncertainty"][num]
+            cnt = int(und.epoch_count[ph])
+            assert cnt >= len(chain) - 1, (tag, num, cnt, len(chain))
+            for k in range(min(cnt, len(chain))):
+                assert _quat_close(
+                    np.asarray(und.unc_q[ph, k]), chain[k].q, 5e-3
+                ), (tag, num, k)
+                assert np.allclose(
+                    np.asarray(und.unc_t[ph, k]), chain[k].t, atol=5e-3
+                ), (tag, num, k)
+                dc = np.abs(np.asarray(und.unc_cov[ph, k]) - chain[k].cov).max()
+                scale = max(np.abs(chain[k].cov).max(), 1e-6)
+                assert dc <= 0.05 * scale + 1e-6, (tag, num, k, dc, scale)
