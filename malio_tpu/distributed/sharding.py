@@ -62,18 +62,38 @@ def group_sharding(mesh: Mesh, cfg, group: prop.MeasureGroup):
 
 
 def carry_sharding(mesh: Mesh, carry: pipeline.LioCarry):
-    return jax.tree_util.tree_map(
-        lambda a: NamedSharding(mesh, Ps("dp")), carry
+    """Carry shardings: batch over dp; the MAP SLOT AXIS over mp.
+
+    The voxel-hash table is by far the carry's largest member (fp + packed
+    records ~ 40 MB per sequence at 1<<21 slots); replicating it over mp
+    made batched replay HBM-working-set bound (round-1 RESULTS.md, B=32
+    regression). Slot-range sharding makes each mp shard the OWNER of a
+    contiguous hash range: XLA/GSPMD lowers the probe/candidate gathers to
+    a masked local gather + psum over mp and routes insert scatters to the
+    owning shard — the TPU-native form of owner-partitioning with the
+    exchange riding ICI (SURVEY §2.4; VERDICT round-1 item 3)."""
+    map_shard = NamedSharding(mesh, Ps("dp", "mp"))
+    dp_only = NamedSharding(mesh, Ps("dp"))
+    shardings = jax.tree_util.tree_map(lambda a: dp_only, carry)
+    return shardings._replace(
+        map=shardings.map._replace(fp=map_shard, rec=map_shard)
     )
 
 
-def make_sharded_step(cfg, mesh: Mesh):
-    """jit-compiled batched step with dp x mp shardings baked in."""
+def make_sharded_step(cfg, mesh: Mesh, carry_template=None):
+    """jit-compiled batched step with dp x mp shardings baked in.
+
+    When carry_template is given, the carry's shardings (including the
+    mp-sharded map) are pinned on both input and output so the map never
+    silently re-replicates between steps."""
 
     def fn(carries, groups):
         return jax.vmap(lambda c, g: pipeline.step(cfg, c, g))(carries, groups)
 
-    return jax.jit(fn)
+    if carry_template is None:
+        return jax.jit(fn)
+    cs = carry_sharding(mesh, carry_template)
+    return jax.jit(fn, in_shardings=(cs, None), out_shardings=(cs, None))
 
 
 def run_batched(cfg, mesh, carries, group_stream, callback=None):
@@ -81,9 +101,12 @@ def run_batched(cfg, mesh, carries, group_stream, callback=None):
 
     group_stream: iterable of batched MeasureGroups (leading dim = dp
     batch). Returns the final carries and stacked per-round outputs."""
-    step = make_sharded_step(cfg, mesh)
+    step = make_sharded_step(cfg, mesh, carry_template=carries)
     outs = []
     with mesh:
+        carries = jax.tree_util.tree_map(
+            lambda a, s: jax.device_put(a, s), carries, carry_sharding(mesh, carries)
+        )
         for groups in group_stream:
             g = jax.tree_util.tree_map(
                 lambda a, s: jax.device_put(a, s), groups, group_sharding(mesh, cfg, groups)

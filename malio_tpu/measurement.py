@@ -76,21 +76,31 @@ def _esti_plane(nn_pts, nn_covs, plane_th, cov_threshold):
 
     Solves the LSQ system A n = -1 (the weights only shape the plane quality
     value, matching the reference, which builds W but solves unweighted).
-    Returns (normal (3,), d (), plane_valid (), plane_cov ())."""
+    Returns (normal (3,), d (), plane_valid (), plane_cov ()).
+
+    Numerics: the reference QR-solves on absolute world coordinates
+    (colPivHouseholderQr, common_lib.h:175); normal equations on raw
+    coordinates square the conditioning (kappa ~ |position|^2 / spread^2 —
+    catastrophic at range in f32). Centering first and folding the mean
+    back via Sherman-Morrison computes the SAME least-squares solution
+    from a well-conditioned 3x3 system:
+      (Gc + k c c^T) v = -k c  =>  v = -k y / (1 + k c^T y),  y = Gc^-1 c
+    with Gc = (A-c)^T (A-c) and k = #points; 1 + k c^T y >= 1 since Gc is
+    SPD, so the rescale never blows up."""
     A = nn_pts  # (5, 3)
-    G = A.T @ A
-    rhs = -jnp.sum(A, axis=0)
-    # closed-form 3x3 solve (Cramer) — batched tiny LU is slow on TPU;
-    # regularize minimally to stay finite on degenerate fits
-    G = G + 1e-12 * jnp.eye(3, dtype=A.dtype)
+    k_pts = jnp.asarray(A.shape[0], A.dtype)
+    c = jnp.mean(A, axis=0)
+    B = A - c
+    G = B.T @ B
+    # scale-free regularization keeps degenerate (collinear) fits finite
+    G = G + (1e-12 * (jnp.trace(G) + 1.0)) * jnp.eye(3, dtype=A.dtype)
     c0 = jnp.cross(G[1], G[2])
     c1 = jnp.cross(G[2], G[0])
     c2 = jnp.cross(G[0], G[1])
     det = jnp.dot(G[0], c0)
     inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
-    n = inv_det * jnp.stack(
-        [jnp.dot(c0, rhs), jnp.dot(c1, rhs), jnp.dot(c2, rhs)]
-    )
+    y = inv_det * jnp.stack([jnp.dot(c0, c), jnp.dot(c1, c), jnp.dot(c2, c)])
+    n = -(k_pts * y) / (1.0 + k_pts * jnp.dot(c, y))
     norm = jnp.linalg.norm(n)
     safe = jnp.maximum(norm, 1e-12)
     normal = n / safe
@@ -165,6 +175,17 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
         def do_search(_):
             nn_pts, nn_covs, nn_d2, nn_cnt = vh.knn(
                 map_state, p_world, k=NUM_MATCH, radius=cfg.knn_radius
+            )
+            # absent neighbors gather empty-slot records whose stored cov
+            # is +inf; left in place they turn the plane-quality value NaN
+            # ((cov_th - inf)/inf in _esti_plane) and — once any OTHER row
+            # is selected with span > 0 — the NaN rides w_plane into the
+            # localization eigensolve and wipes every H row. Rows without
+            # 5 real neighbors are masked by `searched`, so zeroing is
+            # unobservable (the reference only fits planes with 5 real
+            # neighbors, laserMapping.cpp:587-596).
+            nn_covs = jnp.where(
+                jnp.arange(NUM_MATCH)[None, :] < nn_cnt[:, None], nn_covs, 0.0
             )
             searched = (
                 data.pt_mask

@@ -367,3 +367,265 @@ def test_undistort_matches_reference_oracle():
                 dc = np.abs(np.asarray(und.unc_cov[ph, k]) - chain[k].cov).max()
                 scale = max(np.abs(chain[k].cov).max(), 1e-6)
                 assert dc <= 0.05 * scale + 1e-6, (tag, num, k, dc, scale)
+
+
+# =====================================================================
+# h_share_model parity
+# =====================================================================
+
+def _h_cfg():
+    return Config(
+        num_lidars=L,
+        lid_type=(3,) * L,
+        n_scans=(32,) * L,
+        point_filter_num=(1,) * L,
+        extrinsic_T=(0.2, 0.0, 0.1, -0.1, 0.3, 0.0, 0.0, -0.2, 0.15),
+        extrinsic_R=(
+            0.9912279, 0.0871557, 0.0, 0.0998334,
+            0.9950042, 0.0, 0.0998334, 0.0,
+            0.9997500, 0.0, 0.0, 0.0223606,
+        ),
+        plane_th=0.1,
+        cov_threshold=0.3,
+        map_capacity=1 << 12,
+        filter_size_map=0.4,
+        max_raw_points=64,
+        max_points_per_scan=64,
+    )
+
+
+class _OracleCfg:
+    """Attribute view with the fields ref_h_share reads."""
+
+    def __init__(self, cfg):
+        for k in (
+            "plane_th", "cov_threshold", "plane_cov_max", "plane_cov_min",
+            "point_cov_max", "point_cov_min", "range_min", "range_max",
+            "localize_cov_max", "localize_cov_min", "localize_thresh_max",
+            "localize_thresh_min", "extrinsic_est_en",
+        ):
+            setattr(self, k, getattr(cfg, k))
+
+
+def _rand_quat(rng, scale=0.1):
+    v = rng.normal(size=3) * scale
+    a = np.linalg.norm(v)
+    q = np.concatenate([[np.cos(a / 2)], np.sin(a / 2) * v / max(a, 1e-12)])
+    return q
+
+
+def _build_pose_unc(rng, E):
+    """Random per-epoch uncertainty chains (L, E): q, t, SPD cov."""
+    qs = np.stack([[_rand_quat(rng, 0.02) for _ in range(E)] for _ in range(L)])
+    ts = rng.normal(size=(L, E, 3)) * 0.02
+    covs = np.zeros((L, E, 6, 6))
+    for l in range(L):
+        for e in range(E):
+            B = rng.normal(size=(6, 6)) * 2e-4
+            covs[l, e] = B @ B.T + np.eye(6) * 1e-6
+    return qs, ts, covs
+
+
+@pytest.mark.slow
+def test_h_share_matches_reference_oracle():
+    from malio_tpu import measurement as meas_mod
+    from malio_tpu.map import voxel_hash as vh
+    from malio_tpu import uncertainty as unc
+    from oracle.ref_h_share import h_share_model
+    from oracle.ref_uncertainty import Pose as RPose
+
+    rng = np.random.default_rng(11)
+    cfg = _h_cfg()
+    ocfg = _OracleCfg(cfg)
+    M = 48
+    E = 6
+
+    x, rstate = _initial_states(cfg)
+    extR = np.asarray(x.ext_r)
+    extT = np.asarray(x.ext_t)
+
+    # per-point identity: physical lidar + epoch
+    pt_phys = rng.integers(0, L, M)
+    pt_epoch = rng.integers(0, E + 2, M)  # some >= cnt to exercise clamps
+    pts_body = rng.uniform(-3.0, 3.0, (M, 3))
+
+    # temporal comp (identity at base = phys L-1) and epoch chains,
+    # injected IDENTICALLY on both sides (their derivation is covered by
+    # the undistort parity test)
+    tc_q = np.tile(np.array([1.0, 0, 0, 0]), (L, 1))
+    tc_t = np.zeros((L, 3))
+    for ph in range(L - 1):
+        tc_q[ph] = _rand_quat(rng, 0.05)
+        tc_t[ph] = rng.normal(size=3) * 0.05
+    unc_q, unc_t, unc_cov = _build_pose_unc(rng, E)
+
+    # world positions under the initial state (same chain as h_share)
+    def world(ph, p, xs=None):
+        bq, bt = extR[L - 1], extT[L - 1]
+        if ph != L - 1:
+            p = _qrot_np(
+                np.array([bq[0], -bq[1], -bq[2], -bq[3]]),
+                _qrot_np(tc_q[ph], _qrot_np(extR[ph], p) + extT[ph]) + tc_t[ph] - bt,
+            )
+        p_imu = _qrot_np(bq, p) + bt
+        rot = np.asarray(x.rot)
+        return _qrot_np(rot, p_imu) + np.asarray(x.pos)
+
+    # build the map: one well-separated planar cluster of 5 per point,
+    # each neighbor in a distinct voxel; a few degenerate cases
+    vox = cfg.filter_size_map
+    centers = rng.normal(size=(M, 3))
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    centers *= 30.0 + 8.0 * np.arange(M)[:, None]  # far apart
+    map_pts, map_covs = [], []
+    for i in range(M):
+        pw = world(int(pt_phys[i]), pts_body[i] + centers[i])
+        pts_body[i] = pts_body[i] + centers[i]
+        n_nb = 5 if i % 11 else 3  # every 11th point: too few neighbors
+        planar = bool(i % 7)  # every 7th: non-planar cluster
+        # every neighbor offset stays < 0.4 (one voxel) so the radius-1
+        # 27-cell k-NN window is guaranteed to contain the whole cluster
+        for attempt in range(100):
+            nrm = rng.normal(size=3)
+            nrm /= np.linalg.norm(nrm)
+            u = np.cross(nrm, [1.0, 0.0, 0.0])
+            if np.linalg.norm(u) < 1e-3:
+                u = np.cross(nrm, [0.0, 1.0, 0.0])
+            u /= np.linalg.norm(u)
+            v = np.cross(nrm, u)
+            ang = rng.uniform(0, 2 * np.pi, 5)
+            if planar:
+                rad = np.array([0.0, 1, 1, 1, 1]) * (0.3 + rng.uniform(0, 0.08, 5))
+                off_n = rng.uniform(-0.005, 0.005, 5)  # << plane_th
+            else:
+                rad = np.array([0.0, 1, 1, 1, 1]) * 0.2
+                off_n = np.array([0.15, -0.15, 0.15, -0.15, 0.15])  # > plane_th
+            nb = (
+                pw[None]
+                + rad[:, None] * (np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * v)
+                + off_n[:, None] * nrm[None]
+            )
+            cells = set(map(tuple, np.floor(nb / vox).astype(int)))
+            if len(cells) == 5:
+                break
+        assert len(cells) == 5
+        map_pts.append(nb[:n_nb])
+        map_covs.append(rng.uniform(0.05, 0.5, n_nb))
+    map_pts = np.concatenate(map_pts)
+    map_covs = np.concatenate(map_covs)
+
+    m = vh.create(1 << 12, vox, jnp.float64)
+    m = vh.insert(
+        m, jnp.asarray(map_pts), jnp.asarray(map_covs),
+        jnp.ones(map_pts.shape[0], bool),
+    )
+    assert int(vh.size(m)) == map_pts.shape[0]  # all in distinct voxels
+
+    sd = meas_mod.ScanData(
+        pts_body=jnp.asarray(pts_body),
+        pt_lidar=jnp.asarray(pt_phys, jnp.int32),
+        pt_epoch=jnp.asarray(pt_epoch, jnp.int32),
+        pt_mask=jnp.ones(M, bool),
+        tc_q=jnp.asarray(tc_q),
+        tc_t=jnp.asarray(tc_t),
+        base=jnp.asarray(L - 1, jnp.int32),
+        unc_q=jnp.asarray(unc_q),
+        unc_t=jnp.asarray(unc_t),
+        unc_cov=jnp.asarray(unc_cov),
+        epoch_count=jnp.full((L,), E, jnp.int32),
+    )
+    h_share = meas_mod.make_h_share(cfg, m, sd)
+    cache = meas_mod.init_cache(M, jnp.float64)
+
+    # oracle inputs: IDENTICAL neighbor sets, pulled from malio's search
+    res1, cache1 = h_share(x, jnp.asarray(True), cache)
+    nn_pts = np.asarray(cache1.nn_pts)
+    nn_cnt = np.asarray(cache1.nn_cnt)
+    # covariances by exact map lookup; d2 from the oracle's own worlds
+    cov_lut = {tuple(p): c for p, c in zip(map_pts, map_covs)}
+    nn_covs = np.zeros((M, 5))
+    nn_d2 = np.zeros((M, 5))
+    for i in range(M):
+        pw = world(int(pt_phys[i]), pts_body[i])
+        for k in range(5):
+            key = tuple(nn_pts[i, k])
+            nn_covs[i, k] = cov_lut.get(key, 0.0)
+            nn_d2[i, k] = np.sum((nn_pts[i, k] - pw) ** 2) if key in cov_lut else 1e18
+
+    # oracle state: sorted-slot layout
+    pose_unc = [
+        [
+            RPose(unc_q[L - 1 - num, e], unc_t[L - 1 - num, e],
+                  unc_cov[L - 1 - num, e])
+            for e in range(E)
+        ]
+        for num in range(L)
+    ]
+    tcomp = [RPose(tc_q[L - 1 - num], tc_t[L - 1 - num]) for num in range(1, L)]
+    pt_lid_sorted = (L - 1 - pt_phys).astype(int)
+    selected = np.zeros(M, bool)
+    oref = h_share_model(
+        rstate, pts_body, pt_lid_sorted, pt_epoch,
+        nn_pts, nn_covs, nn_d2, nn_cnt, selected, tcomp, pose_unc, ocfg,
+        converge=True,
+    )
+
+    def col_perm():
+        perm = list(range(6))
+        for num in range(L):
+            ph = L - 1 - num
+            perm += [6 + 3 * ph + j for j in range(3)]
+        for num in range(L):
+            ph = L - 1 - num
+            perm += [6 + 3 * L + 3 * ph + j for j in range(3)]
+        return np.asarray(perm)
+
+    def compare(res, cache_out, oracle, tag):
+        sel_m = np.asarray(res.mask)
+        assert oracle["valid"] and bool(res.valid), tag
+        assert np.array_equal(sel_m, oracle["point_selected_surf"]), tag
+        eff = oracle["eff_idx"]
+        Hm = np.asarray(res.H)[:, col_perm()]
+        hm = np.asarray(res.h)
+        Rm = np.asarray(res.R)
+        for k, i in enumerate(eff):
+            assert np.allclose(Hm[i], oracle["h_x"][k], atol=1e-7), (
+                tag, i, np.abs(Hm[i] - oracle["h_x"][k]).max())
+            assert np.isclose(hm[i], oracle["h"][k], atol=1e-7), (tag, i)
+            assert np.isclose(Rm[i], oracle["R"][k], atol=1e-10), (tag, i)
+        assert np.allclose(
+            np.asarray(cache_out.normal_y), oracle["normal_y"], atol=1e-10
+        ), tag
+
+    compare(res1, cache1, oref, "iter1")
+    # at least one of each interesting case actually fired
+    assert (~np.asarray(res1.mask)).any() and np.asarray(res1.mask).sum() >= M // 2
+
+    # ---- second IEKF iteration: perturbed state, no re-search ----
+    dx = np.zeros(st.dof(L))
+    dx[:3] = [0.004, -0.003, 0.002]
+    dx[3:6] = [0.002, 0.001, -0.002]
+    x2 = st.boxplus(x, jnp.asarray(dx))
+    r2 = rstate.copy()
+    dx_o = dx[_sorted_tangent_perm()]
+    r2.boxplus(dx_o)
+    res2, cache2 = h_share(x2, jnp.asarray(False), cache1)
+    oref2 = h_share_model(
+        r2, pts_body, pt_lid_sorted, pt_epoch,
+        nn_pts, nn_covs, nn_d2, nn_cnt, oref["point_selected_surf"],
+        tcomp, pose_unc, ocfg, converge=False,
+    )
+    compare(res2, cache2, oref2, "iter2")
+
+
+def _sorted_tangent_perm():
+    """Tangent permutation physical -> sorted slots (inverse of _perm_cov's
+    row map, which is an involution for the L-1-num mapping)."""
+    n = st.dof(L)
+    perm = np.arange(n)
+    for num in range(L):
+        ph = L - 1 - num
+        for j in range(3):
+            perm[6 + 3 * num + j] = 6 + 3 * ph + j
+            perm[6 + 3 * L + 3 * num + j] = 6 + 3 * L + 3 * ph + j
+    return perm
