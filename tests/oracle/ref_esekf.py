@@ -263,3 +263,70 @@ class RefEsekf:
         """esekfom.hpp:788-796."""
         self.x_.rot = np.asarray(q, float)
         self.x_.pos = np.asarray(t, float)
+
+    def change_ext(self, idx, last_idx):
+        """esekfom.hpp:810-861: permute extrinsic slots when the scan
+        arrival (end-time) order changes between rounds. The reference
+        rebuilds P from identity copying only pose/tail blocks, the
+        permuted ext_R cross rows, and the permuted ext diagonal blocks —
+        the ext_T x pose/tail and ext_R x ext_T cross-covariances are
+        DROPPED (this is the information the fixed-physical-slot design
+        of malio_tpu.state retains)."""
+        L = self.L
+        n = 17 + 6 * L
+        # vect_state_ptr[1+num] / SO3_state_ptr[1+num] = ext slot num;
+        # the reference reads ptr[lid_num - num] = slot L-1-num
+        ext_rot_vec = [self.x_.ext_r[L - 1 - num].copy() for num in range(L)]
+        ext_pos_vec = [self.x_.ext_t[L - 1 - num].copy() for num in range(L)]
+
+        P = self.P_
+        tmp_P = np.eye(n)
+        tl = 6 + L * 6  # tail start (vel..grav, 11 rows)
+        tmp_P[0:6, 0:6] = P[0:6, 0:6]
+        tmp_P[tl : tl + 11, tl : tl + 11] = P[tl : tl + 11, tl : tl + 11]
+        tmp_P[tl : tl + 11, 0:6] = P[tl : tl + 11, 0:6]
+        tmp_P[0:6, tl : tl + 11] = P[0:6, tl : tl + 11]
+
+        ext_rot_rearr = [None] * L
+        ext_pos_rearr = [None] * L
+        line = []
+        for i in range(L):
+            for j in range(L):
+                if last_idx[i] == idx[j]:
+                    ext_rot_rearr[j] = ext_rot_vec[i]
+                    ext_pos_rearr[j] = ext_pos_vec[i]
+                    line.append(j)
+
+        for num in range(L):
+            tmp_P[6 + 3 * num : 9 + 3 * num, 0:6] = P[
+                6 + 3 * line[num] : 9 + 3 * line[num], 0:6
+            ]
+            tmp_P[6 + 3 * num : 9 + 3 * num, tl : tl + 11] = P[
+                6 + 3 * line[num] : 9 + 3 * line[num], tl : tl + 11
+            ]
+            tmp_P[0:6, 6 + 3 * num : 9 + 3 * num] = P[
+                0:6, 6 + 3 * line[num] : 9 + 3 * line[num]
+            ]
+            tmp_P[tl : tl + 11, 6 + 3 * num : 9 + 3 * num] = P[
+                tl : tl + 11, 6 + 3 * line[num] : 9 + 3 * line[num]
+            ]
+
+        for ni in range(L):
+            for nj in range(L):
+                tmp_P[6 + 3 * ni : 9 + 3 * ni, 6 + 3 * nj : 9 + 3 * nj] = P[
+                    6 + 3 * line[ni] : 9 + 3 * line[ni],
+                    6 + 3 * line[nj] : 9 + 3 * line[nj],
+                ]
+                tmp_P[
+                    6 + 3 * (L + ni) : 9 + 3 * (L + ni),
+                    6 + 3 * (L + nj) : 9 + 3 * (L + nj),
+                ] = P[
+                    6 + 3 * (L + line[ni]) : 9 + 3 * (L + line[ni]),
+                    6 + 3 * (L + line[nj]) : 9 + 3 * (L + line[nj]),
+                ]
+
+        for num in range(L):
+            self.x_.ext_t[num] = ext_pos_rearr[L - 1 - num]
+            self.x_.ext_r[num] = ext_rot_rearr[L - 1 - num]
+
+        self.P_ = tmp_P

@@ -629,3 +629,222 @@ def _sorted_tangent_perm():
             perm[6 + 3 * num + j] = 6 + 3 * ph + j
             perm[6 + 3 * L + 3 * num + j] = 6 + 3 * L + 3 * ph + j
     return perm
+
+
+# =====================================================================
+# arrival-order flip: fixed physical slots vs transliterated change_ext
+# =====================================================================
+
+def _run_pair_groups(orders, n_groups=2):
+    """Run malio (fixed physical ext slots) and the oracle (sorted slots +
+    change_ext on order changes) over groups whose scan-end order is given
+    by `orders[g]` (list: physical index of each ascending-end rank).
+    Returns per-group (malio_x, malio_P, oracle_kf, perm_num_to_phys)."""
+    rng = np.random.default_rng(19)
+    cfg = _make_cfg()
+    t_start = 100.0
+    imu_t = np.arange(t_start, t_start + 1.2, IMU_DT)
+    gyro, acc = _imu_signal(imu_t)
+    imu = np.concatenate([imu_t[:, None], gyro, acc], axis=-1)
+
+    groups = []
+    for g in range(n_groups):
+        g_end = t_start + 0.305 + 0.05 + g * GROUP_DT
+        order = orders[g]  # order[rank] = physical index
+        ends = np.zeros(L)
+        for rank, ph in enumerate(order):
+            ends[ph] = g_end - 0.012 * (L - 1 - rank)
+        begs = ends - 0.095
+        pts = []
+        for l in range(L):
+            offs = np.sort(
+                np.linspace(0.004, 0.094, NPTS)
+                + rng.uniform(-0.0005, 0.0005, NPTS)
+            )
+            offs[-1] = ends[l] - begs[l]
+            xyz = rng.uniform(-4.0, 4.0, (NPTS, 3))
+            pts.append(
+                np.concatenate([xyz, (begs[l] + offs)[:, None]], axis=-1)
+            )
+        groups.append(dict(begs=begs, ends=ends, pts=pts, order=order))
+
+    x, rstate = _initial_states(cfg)
+    # initial oracle slots follow group 0's order: slot num = phys of the
+    # num-th LATEST end = order0[L-1-num]
+    order0 = orders[0]
+    extR = np.asarray(x.ext_r)
+    extT = np.asarray(x.ext_t)
+    rstate.ext_r = [extR[order0[L - 1 - num]].copy() for num in range(L)]
+    rstate.ext_t = [extT[order0[L - 1 - num]].copy() for num in range(L)]
+
+    n = st.dof(L)
+    rng2 = np.random.default_rng(23)
+    A = rng2.normal(size=(n, n)) * 0.02
+    P0 = A @ A.T + np.eye(n) * 1e-3
+    Q = np.diag(np.concatenate([np.full(6, 1e-4), np.full(6, 1e-5)]))
+
+    def perm_for(order):
+        return [order[L - 1 - num] for num in range(L)]  # num -> phys
+
+    def tangent_perm(order):
+        p = np.arange(n)
+        m = perm_for(order)
+        for num in range(L):
+            ph = m[num]
+            for j in range(3):
+                p[6 + 3 * num + j] = 6 + 3 * ph + j
+                p[6 + 3 * L + 3 * num + j] = 6 + 3 * L + 3 * ph + j
+        return p
+
+    kf = RefEsekf(L)
+    kf.x_ = rstate
+    tp0 = tangent_perm(order0)
+    kf.P_ = P0[np.ix_(tp0, tp0)]
+    imup = RefImuProcess(L, Q, 1.0)
+
+    base0 = float(groups[0]["begs"].min())
+    k0 = int(np.searchsorted(imu_t, base0 - 0.1))
+    last_end0 = float(imu_t[k0]) + 0.004
+    imup.last_imu_ = imu[k0].copy()
+    imup.last_lidar_end_time_ = last_end0
+
+    P = jnp.asarray(P0)
+    hist = prop.empty_history(cfg.traj_capacity, jnp.float64)
+    last_in = jnp.zeros(6, jnp.float64)
+    last_end_t = jnp.asarray(last_end0 - base0, jnp.float64)
+    prev_base = base0
+    last_imu_rel = imu[k0].copy()
+    last_imu_rel[0] -= base0
+    cursor = k0 + 1
+    last_indices = list(order0)
+    results = []
+
+    for g_i, g in enumerate(groups):
+        order = g["order"]
+        hi = int(np.searchsorted(imu_t, g["ends"].max(), side="right"))
+        meas_imu = imu[cursor:hi]
+        cont = np.concatenate(
+            [imu[hi - 1 : hi], imu[hi : hi + cfg.imu_cont_len - 1]]
+        )
+        cursor = hi
+
+        # sync_packages: change_ext when the arrival order changed
+        if list(order) != last_indices:
+            kf.change_ext(list(order), last_indices)
+        last_indices = list(order)
+
+        meas = dict(
+            lidar_multi=[g["pts"][ph].copy() for ph in order],
+            lidar_beg_time=[g["begs"][ph] for ph in order],
+            lidar_end_time=[g["ends"][ph] for ph in order],
+            imu=[r.copy() for r in meas_imu],
+            imu_cont=[r.copy() for r in cont],
+        )
+        for rank, ph in enumerate(order):
+            meas["lidar_multi"][rank][:, 3] = (
+                meas["lidar_multi"][rank][:, 3] - g["begs"][ph]
+            ) * 1000.0
+        imup.undistort(meas, kf)
+
+        base = float(g["begs"].min())
+        I = cfg.max_imu_per_group
+        imu_pad = np.zeros((I, 7))
+        imu_mask = np.zeros(I, bool)
+        imu_pad[: len(meas_imu)] = meas_imu
+        imu_pad[: len(meas_imu), 0] -= base
+        imu_mask[: len(meas_imu)] = True
+        IC = cfg.imu_cont_len
+        cont_pad = np.zeros((IC, 7))
+        cont_mask = np.zeros(IC, bool)
+        cont_pad[: len(cont)] = cont
+        cont_pad[: len(cont), 0] -= base
+        cont_mask[: len(cont)] = True
+        pts = np.stack(g["pts"]).copy()
+        pts[..., 3] -= base
+        group = prop.MeasureGroup(
+            pts=jnp.asarray(pts),
+            pts_mask=jnp.ones((L, NPTS), bool),
+            beg_t=jnp.asarray(g["begs"] - base),
+            end_t=jnp.asarray(g["ends"] - base),
+            imu=jnp.asarray(imu_pad),
+            imu_mask=jnp.asarray(imu_mask),
+            imu_cont=jnp.asarray(cont_pad),
+            imu_cont_mask=jnp.asarray(cont_mask),
+            t_shift=jnp.asarray(base - prev_base),
+        )
+        und = prop.undistort(
+            cfg, x, P, hist, group, jnp.asarray(Q),
+            last_in, jnp.asarray(last_imu_rel), last_end_t, 1.0,
+        )
+        x, P, hist = und.x, und.P, und.hist
+        last_in = und.last_in
+        last_imu_rel = np.asarray(und.last_imu)
+        last_end_t = jnp.asarray(float(g["ends"].max()) - base)
+        prev_base = base
+        results.append((x, np.asarray(P), kf, perm_for(order), tangent_perm(order)))
+    return results
+
+
+@pytest.mark.slow
+def test_arrival_order_flip_vs_change_ext():
+    """A/B of the documented design divergence (state.py docstring;
+    VERDICT round-1 item 9): when the scan-end order flips between rounds,
+    the reference permutes extrinsic covariance slots with change_ext
+    (esekfom.hpp:810-861), DROPPING the ext_T x pose/tail and
+    ext_R x ext_T cross-covariances; malio keeps physical slots and loses
+    nothing. Assertions:
+
+      * the STATE trajectories agree exactly (the mean permutation is
+        lossless — arrival-order flips cannot move the estimate through
+        propagation);
+      * the covariances agree exactly OUTSIDE the dropped pattern;
+      * inside the pattern the difference equals malio's retained
+        cross-covariance (bounded, and strictly extra information)."""
+    results = _run_pair_groups([[0, 1, 2], [1, 2, 0]])
+    (x1, P1, kf1, perm1, tp1) = results[1]
+
+    # state parity after the flip round
+    rx = kf1.x_
+    assert np.allclose(np.asarray(x1.pos), rx.pos, atol=1e-9)
+    assert _quat_close(np.asarray(x1.rot), rx.rot, 1e-9)
+    assert np.allclose(np.asarray(x1.vel), rx.vel, atol=1e-9)
+    for num in range(L):
+        ph = perm1[num]
+        assert _quat_close(np.asarray(x1.ext_r[ph]), rx.ext_r[num], 1e-10), num
+        assert np.allclose(np.asarray(x1.ext_t[ph]), rx.ext_t[num], atol=1e-10), num
+
+    # covariance: difference confined to the dropped pattern
+    n = P1.shape[0]
+    Pm = P1[np.ix_(tp1, tp1)]
+    D = Pm - kf1.P_
+    extT = np.zeros(n, bool)
+    extT[6 + 3 * L : 6 + 6 * L] = True
+    ext_all = np.zeros(n, bool)
+    ext_all[6 : 6 + 6 * L] = True
+    # dropped pattern: (ext_T rows x non-extT cols) and its transpose
+    dropped = (extT[:, None] & ~extT[None, :]) | (~extT[:, None] & extT[None, :])
+    # but ext_T x ext_T stays (copied): already excluded (extT x extT not
+    # in pattern); ext_R x pose/tail was copied too -> exclude it
+    extR = np.zeros(n, bool)
+    extR[6 : 6 + 3 * L] = True
+    kept_cross = (extR[:, None] & ~ext_all[None, :]) | (
+        ~ext_all[:, None] & extR[None, :]
+    )
+    dropped &= ~kept_cross
+    assert np.abs(D[~dropped]).max() < 1e-9, np.abs(D[~dropped]).max()
+    # inside: malio retains what the reference zeroed at the flip, then
+    # both propagate identically -> difference = retained information,
+    # bounded by the pre-flip cross-covariance scale
+    assert np.abs(D[dropped]).max() < 0.1, np.abs(D[dropped]).max()
+    assert np.abs(D[dropped]).max() > 0.0  # the divergence is real
+
+
+@pytest.mark.slow
+def test_no_flip_change_ext_noop():
+    """Control: with a constant arrival order the two semantics coincide
+    everywhere (change_ext never fires)."""
+    results = _run_pair_groups([[0, 1, 2], [0, 1, 2]])
+    (x1, P1, kf1, perm1, tp1) = results[1]
+    Pm = P1[np.ix_(tp1, tp1)]
+    assert np.allclose(Pm, kf1.P_, atol=1e-9)
+    assert np.allclose(np.asarray(x1.pos), kf1.x_.pos, atol=1e-9)
