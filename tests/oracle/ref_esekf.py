@@ -330,3 +330,101 @@ class RefEsekf:
             self.x_.ext_r[num] = ext_rot_rearr[L - 1 - num]
 
         self.P_ = tmp_P
+
+    def update_iterated_dyn_share_modified(self, h_dyn_share, maximum_iter,
+                                           limit=0.001):
+        """esekfom.hpp:495-721 (the dense information-form n<=m branch;
+        the n>m branch uses the scalar-R dense gain and is exercised only
+        on degenerate rounds with fewer effective points than states).
+
+        h_dyn_share(x, converge) -> dict(valid, h_x (E, 6(L+1)), h, R) or
+        dict(valid=False); carries its own selection state across
+        iterations like the reference's globals."""
+        L = self.L
+        n = 17 + 6 * L
+        act = 6 * (L + 1)
+        converge = True
+        t = 0
+        x_propagated = self.x_.copy()
+        P_propagated = self.P_.copy()
+        K_x = np.zeros((n, n))
+        dx_ = np.zeros(n)
+
+        i = -1
+        while i < maximum_iter:
+            data = h_dyn_share(self.x_, converge)
+            if not data["valid"]:
+                i += 1
+                continue
+            h_x_ = np.asarray(data["h_x"], float)
+            R_dyn = np.asarray(data["R"], float).copy()
+            dof_Measurement = h_x_.shape[0]
+
+            dx = self.x_.boxminus(x_propagated)
+            dx_new = dx.copy()
+            P = P_propagated.copy()
+
+            for idx, dim in self.x_.so3_state():
+                seg = dx[idx : idx + 3]
+                res = rm.A_matrix(seg).T
+                dx_new[idx : idx + 3] = res @ dx_new[idx : idx + 3]
+                P[idx : idx + 3, :] = res @ P[idx : idx + 3, :]
+                P[:, idx : idx + 3] = P[:, idx : idx + 3] @ res.T
+            for idx, dim in self.x_.s2_state():
+                seg = dx[idx : idx + 2]
+                Nx = rm.s2_nx_yy(self.x_.grav, S2_LENGTH)
+                Mx = rm.s2_mx(x_propagated.grav, seg, S2_LENGTH)
+                res = Nx @ Mx
+                dx_new[idx : idx + 2] = res @ dx_new[idx : idx + 2]
+                P[idx : idx + 2, :] = res @ P[idx : idx + 2, :]
+                P[:, idx : idx + 2] = P[:, idx : idx + 2] @ res.T
+
+            assert n <= dof_Measurement, (
+                "oracle covers the information-form branch only"
+            )
+            P_temp = np.linalg.inv(P)
+            HT = h_x_.T.copy()  # (act, E)
+            R_dyn[R_dyn < 0.0001] = 0.001
+            HT = HT / R_dyn[None, :]
+            HTH = HT @ h_x_
+            P_temp[:act, :act] += HTH
+            P_inv = np.linalg.inv(P_temp)
+            K_h = P_inv[:, :act] @ (HT @ np.asarray(data["h"], float))
+            K_x = np.zeros((n, n))
+            K_x[:, :act] = P_inv[:, :act] @ HTH
+
+            dx_ = K_h + (K_x - np.eye(n)) @ dx_new
+            self.x_.boxplus(dx_)
+
+            converge = True
+            for k in range(n):
+                if abs(dx_[k]) > limit:
+                    converge = False
+                    break
+            if converge:
+                t += 1
+            if (not t) and i == maximum_iter - 2:
+                converge = True
+
+            if t > 1 or i == maximum_iter - 1:
+                Lm = P.copy()
+                for idx, dim in self.x_.so3_state():
+                    seg = dx_[idx : idx + 3]
+                    res = rm.A_matrix(seg).T
+                    Lm[idx : idx + 3, :] = res @ P[idx : idx + 3, :]
+                    K_x[idx : idx + 3, :act] = res @ K_x[idx : idx + 3, :act]
+                    Lm[:, idx : idx + 3] = Lm[:, idx : idx + 3] @ res.T
+                    P[:, idx : idx + 3] = P[:, idx : idx + 3] @ res.T
+                for idx, dim in self.x_.s2_state():
+                    seg = dx_[idx : idx + 2]
+                    Nx = rm.s2_nx_yy(self.x_.grav, S2_LENGTH)
+                    Mx = rm.s2_mx(x_propagated.grav, seg, S2_LENGTH)
+                    res = Nx @ Mx
+                    Lm[idx : idx + 2, :] = res @ P[idx : idx + 2, :]
+                    K_x[idx : idx + 2, :act] = res @ K_x[idx : idx + 2, :act]
+                    Lm[:, idx : idx + 2] = Lm[:, idx : idx + 2] @ res.T
+                    P[:, idx : idx + 2] = P[:, idx : idx + 2] @ res.T
+                self.P_ = Lm - K_x[:, :act] @ P[:act, :]
+                return i + 1
+            i += 1
+        return i

@@ -426,18 +426,17 @@ def _build_pose_unc(rng, E):
     return qs, ts, covs
 
 
-@pytest.mark.slow
-def test_h_share_matches_reference_oracle():
+def _h_share_scenario(M=48, seed=11, spread=8.0):
+    """Shared scenario for the h_share / update parity tests: a voxel map
+    of per-point planar clusters with injected temporal-comp poses and
+    epoch chains, plus matched (malio, oracle) states."""
     from malio_tpu import measurement as meas_mod
     from malio_tpu.map import voxel_hash as vh
-    from malio_tpu import uncertainty as unc
-    from oracle.ref_h_share import h_share_model
     from oracle.ref_uncertainty import Pose as RPose
 
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
     cfg = _h_cfg()
     ocfg = _OracleCfg(cfg)
-    M = 48
     E = 6
 
     x, rstate = _initial_states(cfg)
@@ -476,7 +475,7 @@ def test_h_share_matches_reference_oracle():
     vox = cfg.filter_size_map
     centers = rng.normal(size=(M, 3))
     centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
-    centers *= 30.0 + 8.0 * np.arange(M)[:, None]  # far apart
+    centers *= 30.0 + spread * np.arange(M)[:, None]  # far apart
     map_pts, map_covs = [], []
     for i in range(M):
         pw = world(int(pt_phys[i]), pts_body[i] + centers[i])
@@ -519,7 +518,11 @@ def test_h_share_matches_reference_oracle():
         m, jnp.asarray(map_pts), jnp.asarray(map_covs),
         jnp.ones(map_pts.shape[0], bool),
     )
-    assert int(vh.size(m)) == map_pts.shape[0]  # all in distinct voxels
+    # all points sit in distinct voxels; a rare probe-window exhaustion
+    # may still drop a candidate (counted in n_dropped, re-offered next
+    # scan in production) — the affected row then simply fails the
+    # 5-neighbor gate on BOTH sides, which the parity tests tolerate
+    assert int(vh.size(m)) + int(m.n_dropped) == map_pts.shape[0]
 
     sd = meas_mod.ScanData(
         pts_body=jnp.asarray(pts_body),
@@ -535,24 +538,7 @@ def test_h_share_matches_reference_oracle():
         epoch_count=jnp.full((L,), E, jnp.int32),
     )
     h_share = meas_mod.make_h_share(cfg, m, sd)
-    cache = meas_mod.init_cache(M, jnp.float64)
 
-    # oracle inputs: IDENTICAL neighbor sets, pulled from malio's search
-    res1, cache1 = h_share(x, jnp.asarray(True), cache)
-    nn_pts = np.asarray(cache1.nn_pts)
-    nn_cnt = np.asarray(cache1.nn_cnt)
-    # covariances by exact map lookup; d2 from the oracle's own worlds
-    cov_lut = {tuple(p): c for p, c in zip(map_pts, map_covs)}
-    nn_covs = np.zeros((M, 5))
-    nn_d2 = np.zeros((M, 5))
-    for i in range(M):
-        pw = world(int(pt_phys[i]), pts_body[i])
-        for k in range(5):
-            key = tuple(nn_pts[i, k])
-            nn_covs[i, k] = cov_lut.get(key, 0.0)
-            nn_d2[i, k] = np.sum((nn_pts[i, k] - pw) ** 2) if key in cov_lut else 1e18
-
-    # oracle state: sorted-slot layout
     pose_unc = [
         [
             RPose(unc_q[L - 1 - num, e], unc_t[L - 1 - num, e],
@@ -562,6 +548,49 @@ def test_h_share_matches_reference_oracle():
         for num in range(L)
     ]
     tcomp = [RPose(tc_q[L - 1 - num], tc_t[L - 1 - num]) for num in range(1, L)]
+    return dict(
+        cfg=cfg, ocfg=ocfg, M=M, x=x, rstate=rstate, m=m, sd=sd,
+        h_share=h_share, map_pts=map_pts, map_covs=map_covs, world=world,
+        pose_unc=pose_unc, tcomp=tcomp, pt_phys=pt_phys, pt_epoch=pt_epoch,
+        pts_body=pts_body,
+    )
+
+
+def _oracle_nn(sc, cache1):
+    """Oracle neighbor arrays matching malio's search results exactly."""
+    M = sc["M"]
+    nn_pts = np.asarray(cache1.nn_pts)
+    nn_cnt = np.asarray(cache1.nn_cnt)
+    cov_lut = {tuple(p): c for p, c in zip(sc["map_pts"], sc["map_covs"])}
+    nn_covs = np.zeros((M, 5))
+    nn_d2 = np.zeros((M, 5))
+    for i in range(M):
+        pw = sc["world"](int(sc["pt_phys"][i]), sc["pts_body"][i])
+        for k in range(5):
+            key = tuple(nn_pts[i, k])
+            nn_covs[i, k] = cov_lut.get(key, 0.0)
+            nn_d2[i, k] = (
+                np.sum((nn_pts[i, k] - pw) ** 2) if key in cov_lut else 1e18
+            )
+    return nn_pts, nn_covs, nn_d2, nn_cnt
+
+
+@pytest.mark.slow
+def test_h_share_matches_reference_oracle():
+    from malio_tpu import measurement as meas_mod
+    from oracle.ref_h_share import h_share_model
+
+    sc = _h_share_scenario()
+    cfg, ocfg, M = sc["cfg"], sc["ocfg"], sc["M"]
+    x, rstate, h_share = sc["x"], sc["rstate"], sc["h_share"]
+    pts_body, pt_phys, pt_epoch = sc["pts_body"], sc["pt_phys"], sc["pt_epoch"]
+    tcomp, pose_unc = sc["tcomp"], sc["pose_unc"]
+    cache = meas_mod.init_cache(M, jnp.float64)
+
+    # oracle inputs: IDENTICAL neighbor sets, pulled from malio's search
+    res1, cache1 = h_share(x, jnp.asarray(True), cache)
+    nn_pts, nn_covs, nn_d2, nn_cnt = _oracle_nn(sc, cache1)
+
     pt_lid_sorted = (L - 1 - pt_phys).astype(int)
     selected = np.zeros(M, bool)
     oref = h_share_model(
@@ -848,3 +877,96 @@ def test_no_flip_change_ext_noop():
     Pm = P1[np.ix_(tp1, tp1)]
     assert np.allclose(Pm, kf1.P_, atol=1e-9)
     assert np.allclose(np.asarray(x1.pos), kf1.x_.pos, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_update_iterated_matches_reference_oracle():
+    """Full IEKF update-loop parity (esekfom.hpp:495-721): starting from a
+    perturbed state over the planar-cluster scenario, malio's
+    update_iterated and the transliterated
+    update_iterated_dyn_share_modified must converge to the same state and
+    posterior covariance through the same iteration bookkeeping (i=-1
+    start, converge-twice exit, forced re-search on the second-to-last
+    iteration, tangent transports of P and dx, information-form solve with
+    the R floor).
+
+    Scope: the n <= m information-form branch (the reference's n > m
+    dense-gain branch with scalar R fires only on degenerate rounds with
+    fewer effective points than states — a documented divergence: malio
+    uses the per-point-R information form there too)."""
+    from malio_tpu import measurement as meas_mod
+    from malio_tpu.filter import esekf
+    from oracle.ref_h_share import h_share_model
+
+    # spread=2: cluster ranges 30..175 m — a rotation perturbation d_rot
+    # moves a point at range r by ~d_rot*r, and the k-NN voxel window only
+    # tolerates ~0.4 m, so the perturbation below must stay small at the
+    # far clusters
+    sc = _h_share_scenario(M=72, seed=13, spread=2.0)
+    cfg, ocfg, M = sc["cfg"], sc["ocfg"], sc["M"]
+    x, rstate, h_share = sc["x"], sc["rstate"], sc["h_share"]
+    pts_body, pt_phys, pt_epoch = sc["pts_body"], sc["pt_phys"], sc["pt_epoch"]
+    tcomp, pose_unc = sc["tcomp"], sc["pose_unc"]
+    n = st.dof(L)
+
+    # perturb the start so the loop takes several iterations
+    rng = np.random.default_rng(29)
+    dx0 = np.zeros(n)
+    dx0[:3] = [0.04, -0.03, 0.02]
+    dx0[3:6] = [2e-4, -1.5e-4, 1e-4]
+    dx0[6 + 6 * L : 9 + 6 * L] = [0.02, 0.01, -0.02]  # vel
+    x_start = st.boxplus(x, jnp.asarray(dx0))
+    r_start = rstate.copy()
+    r_start.boxplus(dx0[_sorted_tangent_perm()])
+
+    A = rng.normal(size=(n, n)) * 0.01
+    P0 = A @ A.T + np.eye(n) * 5e-3
+
+    # malio
+    cache0 = meas_mod.init_cache(M, jnp.float64)
+    res = esekf.update_iterated(
+        x_start, jnp.asarray(P0), h_share, cache0,
+        max_iter=cfg.max_iteration, limit=cfg.converge_limit,
+    )
+    assert bool(res.valid)
+
+    # oracle: same neighbor sets (static per scenario — clusters are far
+    # apart, so the small update steps never change the association)
+    _, cache1 = h_share(x_start, jnp.asarray(True), cache0)
+    nn_pts, nn_covs, nn_d2, nn_cnt = _oracle_nn(sc, cache1)
+    pt_lid_sorted = (L - 1 - pt_phys).astype(int)
+    selected = np.zeros(M, bool)
+    calls = []
+
+    def h_dyn_share(s, converge):
+        out = h_share_model(
+            s, pts_body, pt_lid_sorted, pt_epoch,
+            nn_pts, nn_covs, nn_d2, nn_cnt, selected, tcomp, pose_unc,
+            ocfg, converge=converge,
+        )
+        calls.append(bool(converge))
+        return out
+
+    from oracle.ref_esekf import RefEsekf
+    kf = RefEsekf(L)
+    kf.x_ = r_start
+    tp = _sorted_tangent_perm()
+    kf.P_ = P0[np.ix_(tp, tp)]
+    kf.update_iterated_dyn_share_modified(
+        h_dyn_share, cfg.max_iteration, limit=cfg.converge_limit
+    )
+
+    rx = kf.x_
+    assert np.allclose(np.asarray(res.x.pos), rx.pos, atol=1e-8)
+    assert _quat_close(np.asarray(res.x.rot), rx.rot, 1e-8)
+    assert np.allclose(np.asarray(res.x.vel), rx.vel, atol=1e-8)
+    assert np.allclose(np.asarray(res.x.grav), rx.grav, atol=1e-8)
+    for num in range(L):
+        ph = L - 1 - num
+        assert _quat_close(np.asarray(res.x.ext_r[ph]), rx.ext_r[num], 1e-8)
+        assert np.allclose(np.asarray(res.x.ext_t[ph]), rx.ext_t[num], atol=1e-8)
+    Pm = np.asarray(res.P)[np.ix_(tp, tp)]
+    dP = np.abs(Pm - kf.P_).max()
+    assert dP < 1e-8, dP
+    # both ran the same number of measurement evaluations
+    assert int(res.iterations) == len(calls), (int(res.iterations), len(calls))
