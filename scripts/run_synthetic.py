@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--points", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--quiet", action="store_true",
+                    help="no per-round prints: runs the scan-chunked fast "
+                    "path (one device dispatch per 16 rounds) instead of "
+                    "per-round dispatch with a host sync each round")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +87,10 @@ def main():
             print(f"t={e:6.2f} iters={i} eff={n:5d} map={m:6d} pos={np.asarray(out.pos)}")
 
     res = runner.run_sequence(
-        cfg, groups, dtype=jnp.float64 if args.f64 else jnp.float32, callback=cb
+        cfg,
+        groups,
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+        callback=None if args.quiet else cb,
     )
     dt = time.time() - t0
     n_rounds = len(res["t"])
