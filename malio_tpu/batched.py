@@ -82,19 +82,7 @@ def synthetic_batched_benchmark(
             prev_last = last
         x0 = runner.initial_state(cfg, init, dtype)
         P0 = runner.initial_covariance(cfg, dtype)
-        Q = jnp.asarray(
-            np.diag(
-                np.concatenate(
-                    [
-                        init.cov_gyr,
-                        init.cov_acc,
-                        np.full(3, cfg.b_gyr_cov),
-                        np.full(3, cfg.b_acc_cov),
-                    ]
-                )
-            ),
-            dtype,
-        )
+        Q = runner.process_noise(cfg, init, dtype)
         c = pipeline.init_carry(cfg, x0, P0, Q, dtype)
         b0 = group_base(groups[start])
         c = c._replace(

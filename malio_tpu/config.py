@@ -34,6 +34,10 @@ class Config:
     acc_cov: float = 0.1
     b_gyr_cov: float = 0.0001
     b_acc_cov: float = 0.0001
+    imu_noise_source: str = "measured"  # "measured" replicates the
+    # reference quirk (Q's gyr/acc block from the IMU-init window's sample
+    # variance, IMU_Processing.hpp:142-186; YAML values unused after
+    # init); "config" uses gyr_cov/acc_cov above directly
     converge_limit: float = 0.001  # esekfom.hpp:162
     laser_point_cov: float = 0.001  # laserMapping.cpp:38 (LASER_POINT_COV)
     single_search: bool = False  # True: k-NN only on the first IEKF

@@ -91,6 +91,37 @@ def initial_covariance(cfg, dtype=jnp.float32):
     return jnp.asarray(np.diag(d), dtype)
 
 
+def process_noise(cfg, init: ImuInitializer, dtype=jnp.float32):
+    """Process-noise Q = diag([gyr, acc, b_gyr, b_acc]) (12x12).
+
+    cfg.imu_noise_source selects the gyr/acc source:
+    - "measured" (default) replicates the reference quirk: the IMU-init
+      window's sample variances seed Q and the YAML gyr_cov/acc_cov are
+      never read after init (IMU_Processing.hpp:142-186 overwrites
+      cov_gyr/cov_acc with the measured statistics before Q is built).
+    - "config" uses cfg.gyr_cov/acc_cov directly, the behavior most
+      users expect from the YAML.
+    Bias random-walk covs always come from the config (the reference
+    never measures them)."""
+    if cfg.imu_noise_source == "config":
+        gyr, acc = np.full(3, cfg.gyr_cov), np.full(3, cfg.acc_cov)
+    elif cfg.imu_noise_source == "measured":
+        gyr, acc = init.cov_gyr, init.cov_acc
+    else:
+        raise ValueError(
+            f"imu_noise_source must be 'measured' or 'config', "
+            f"got {cfg.imu_noise_source!r}"
+        )
+    return jnp.asarray(
+        np.diag(
+            np.concatenate(
+                [gyr, acc, np.full(3, cfg.b_gyr_cov), np.full(3, cfg.b_acc_cov)]
+            )
+        ),
+        dtype,
+    )
+
+
 def group_base(g):
     """Per-group time base (f64): the earliest scan begin."""
     return float(np.min(np.asarray(g["beg_t"], np.float64)))
@@ -161,19 +192,7 @@ def run_sequence(
         if gi > 0 and init.done:
             x0 = initial_state(cfg, init, dtype)
             P0 = initial_covariance(cfg, dtype)
-            Q = jnp.asarray(
-                np.diag(
-                    np.concatenate(
-                        [
-                            init.cov_gyr,
-                            init.cov_acc,
-                            np.full(3, cfg.b_gyr_cov),
-                            np.full(3, cfg.b_acc_cov),
-                        ]
-                    )
-                ),
-                dtype,
-            )
+            Q = process_noise(cfg, init, dtype)
             carry = pipeline.init_carry(cfg, x0, P0, Q, dtype)
             carry = carry._replace(
                 mean_acc_norm=jnp.asarray(np.linalg.norm(init.mean_acc), dtype),
