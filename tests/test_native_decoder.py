@@ -65,3 +65,35 @@ def test_native_matches_numpy_velodyne(tmp_path):
     assert counts[0] == pts.shape[0]
     np.testing.assert_allclose(out[0, : counts[0]], pts, atol=1e-12)
     np.testing.assert_allclose(durs[0], dur, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sanitizers_clean(tmp_path):
+    """Thread/address-sanitized decoder stress (SURVEY §5 host-code
+    sanitizers): oversubscribed batch_decode over all three record types
+    plus the missing-file error path must produce zero TSan/ASan/UBSan
+    reports."""
+    import pathlib
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ not available")
+    nat = pathlib.Path(__file__).resolve().parents[1] / "native"
+    build = subprocess.run(
+        ["make", "-C", str(nat), "san_tsan", "san_asan"],
+        capture_output=True, text=True,
+    )
+    assert build.returncode == 0, build.stderr
+    for exe in ("san_tsan", "san_asan"):
+        scratch = tmp_path / exe
+        scratch.mkdir()
+        r = subprocess.run(
+            [str(nat / exe), str(scratch)], capture_output=True, text=True,
+            timeout=300,
+        )
+        blob = r.stdout + r.stderr
+        assert r.returncode == 0, (exe, blob[-2000:])
+        assert "WARNING: ThreadSanitizer" not in blob, blob[-2000:]
+        assert "ERROR: AddressSanitizer" not in blob, blob[-2000:]
+        assert "runtime error" not in blob, blob[-2000:]  # UBSan
