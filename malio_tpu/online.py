@@ -110,6 +110,15 @@ class OnlineEstimator:
         """Drain fused rounds (forces one host sync). Returns a list of
         dicts: t (absolute end time), pos, quat, iterations, n_effective,
         map_size."""
+        fields = ("end_time", "pos", "quat", "iterations", "n_effective", "map_size")
+        # start every device->host copy before blocking on any: on a
+        # remote-relay TPU each synchronous fetch is a full network round
+        # trip (~25 ms); async-first turns 6 round trips into ~1
+        for o, _ in self._pending:
+            for f in fields:
+                a = getattr(o, f)
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
         out = []
         for o, base in self._pending:
             out.append(
