@@ -11,6 +11,17 @@ import time
 import numpy as np
 
 
+def ros_pose_covariance(pose_cov):
+    """Permute a [translation(0:3); rotation(3:6)]-ordered 6x6 pose
+    covariance into the layout the reference publishes on /Odometry
+    (publish_odometry, laserMapping.cpp:510-520): rotation block first,
+    i.e. out[i, j] = P[k(i), k(j)] with k swapping the 3-blocks. Accepts
+    a single (6,6) or a batch (..., 6, 6)."""
+    perm = np.array([3, 4, 5, 0, 1, 2])
+    pose_cov = np.asarray(pose_cov)
+    return pose_cov[..., perm[:, None], perm[None, :]]
+
+
 class MetricsLogger:
     """Collects per-round diagnostics; renders a live dashboard and/or
     appends JSONL records."""

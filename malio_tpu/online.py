@@ -110,7 +110,15 @@ class OnlineEstimator:
         """Drain fused rounds (forces one host sync). Returns a list of
         dicts: t (absolute end time), pos, quat, iterations, n_effective,
         map_size."""
-        fields = ("end_time", "pos", "quat", "iterations", "n_effective", "map_size")
+        fields = (
+            "end_time",
+            "pos",
+            "quat",
+            "pose_cov",
+            "iterations",
+            "n_effective",
+            "map_size",
+        )
         # start every device->host copy before blocking on any: on a
         # remote-relay TPU each synchronous fetch is a full network round
         # trip (~25 ms); async-first turns 6 round trips into ~1
@@ -126,6 +134,7 @@ class OnlineEstimator:
                     t=float(np.asarray(o.end_time)) + base,
                     pos=np.asarray(o.pos),
                     quat=np.asarray(o.quat),
+                    pose_cov=np.asarray(o.pose_cov),
                     iterations=int(o.iterations),
                     n_effective=int(o.n_effective),
                     map_size=int(o.map_size),

@@ -54,6 +54,10 @@ class LioCarry(NamedTuple):
 class StepOutput(NamedTuple):
     pos: jnp.ndarray  # (3,)
     quat: jnp.ndarray  # (4,) [w,x,y,z]
+    pose_cov: jnp.ndarray  # (6,6) pose covariance, tangent order
+    # [translation(0:3); rotation(3:6)]; the reference publishes the
+    # rotation-first permutation of this block on /Odometry
+    # (laserMapping.cpp:510-520) — see metrics.ros_pose_covariance
     end_time: jnp.ndarray  # () group end (relative)
     iterations: jnp.ndarray
     n_effective: jnp.ndarray
@@ -314,6 +318,7 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
     out = StepOutput(
         pos=upd.x.pos,
         quat=upd.x.rot,
+        pose_cov=upd.P[:6, :6],
         end_time=jnp.max(group.end_t),
         iterations=upd.iterations,
         n_effective=jnp.sum(upd.cache.selected),

@@ -212,7 +212,15 @@ def run_sequence(
 
     # --- fusion phase: chunked device transfers + async dispatch ---
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
-    small = ("pos", "quat", "end_time", "iterations", "n_effective", "map_size")
+    small = (
+        "pos",
+        "quat",
+        "pose_cov",
+        "end_time",
+        "iterations",
+        "n_effective",
+        "map_size",
+    )
     # times are rebased per group; the first fused group's base is the
     # origin, so pre-rebase the carried last-IMU stamp
     base0 = group_base(groups[start])
@@ -257,6 +265,7 @@ def run_sequence(
         t=np.asarray([o["end_time"] for o in outs]),
         pos=np.asarray([o["pos"] for o in outs]),
         quat=np.asarray([o["quat"] for o in outs]),
+        pose_cov=np.asarray([o["pose_cov"] for o in outs]),
         iterations=np.asarray([int(o["iterations"]) for o in outs]),
         n_effective=np.asarray([int(o["n_effective"]) for o in outs]),
         map_size=np.asarray([int(o["map_size"]) for o in outs]),

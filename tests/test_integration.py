@@ -61,6 +61,13 @@ def test_single_lidar_tracks_trajectory():
     assert err_raw < 0.25, (err_aligned, err_raw)
     # effective correspondences must bootstrap, not decay
     assert res["n_effective"][-1] > 500
+    # per-round pose covariance: SPD, shrinking as the map constrains the
+    # estimate (odometry covariance output, laserMapping.cpp:510-520)
+    pc = res["pose_cov"]
+    assert pc.shape == (len(res["t"]), 6, 6)
+    assert np.isfinite(pc).all()
+    assert (np.linalg.eigvalsh(pc) > 0).all()
+    assert np.trace(pc[-1]) < np.trace(pc[0])
     # map grows as the platform moves
     assert res["map_size"][-1] > 2 * res["map_size"][0]
 
@@ -185,3 +192,24 @@ def test_config_noise_source_tracks_trajectory():
     # 1024-pt scans settle near ~70 effective correspondences (the
     # measured-noise control at identical settings shows the same tail)
     assert res["n_effective"][-1] > 50
+
+
+def test_ros_pose_covariance_matches_reference_loop():
+    """metrics.ros_pose_covariance vs a transliteration of the publish
+    loop (publish_odometry, laserMapping.cpp:510-520)."""
+    from malio_tpu import metrics
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(6, 6))
+    P = A @ A.T
+    ref = np.zeros((6, 6))
+    for i in range(6):
+        k = i + 3 if i < 3 else i - 3
+        ref[i, 0:3] = P[k, 3:6]
+        ref[i, 3:6] = P[k, 0:3]
+    np.testing.assert_allclose(metrics.ros_pose_covariance(P), ref, atol=0)
+    # batch shape passes through
+    batch = np.stack([P, 2 * P])
+    np.testing.assert_allclose(
+        metrics.ros_pose_covariance(batch)[1], 2 * ref, atol=0
+    )
