@@ -27,6 +27,11 @@ class Config:
     extrinsic_T: Sequence[float] = (0.0, 0.0, 0.0)
     extrinsic_R: Sequence[float] = (1.0, 0.0, 0.0, 0.0)
     extrinsic_est_en: bool = True
+    ext_cov_init: float = 1e-6  # initial extrinsic covariance diagonal
+    # (IMU_Processing.hpp:191-192 hardcodes 1e-6). The tight prior is
+    # load-bearing: it keeps early-map registration error out of the
+    # extrinsics while the map bootstraps (measured: 1e-2 diverges a 5 cm
+    # offset to 30 cm; 1e-6..1e-5 converge it) — raise with care
 
     # --- filter ---
     max_iteration: int = 4  # launch/mapping_city.launch:9 uses 3

@@ -81,10 +81,13 @@ def initial_state(cfg, init: ImuInitializer, dtype=jnp.float32) -> st.State:
 
 def initial_covariance(cfg, dtype=jnp.float32):
     """P init (IMU_Processing.hpp:187-199): pose 1, ext+vel 1e-6, bg 1e-4,
-    ba 1e-3, grav 1e-5."""
+    ba 1e-3, grav 1e-5. cfg.ext_cov_init overrides the extrinsic block
+    (default 1e-6 = the reference's slow-calibration prior; raise it to
+    let online extrinsic estimation converge from a coarse guess)."""
     n = st.dof(cfg.num_lidars)
     d = np.ones(n)
     d[6 : n - 8] = 1e-6
+    d[6 : 6 + 6 * cfg.num_lidars] = cfg.ext_cov_init
     d[n - 8 : n - 5] = 1e-4
     d[n - 5 : n - 2] = 1e-3
     d[n - 2 :] = 1e-5

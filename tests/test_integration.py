@@ -213,3 +213,46 @@ def test_ros_pose_covariance_matches_reference_loop():
     np.testing.assert_allclose(
         metrics.ros_pose_covariance(batch)[1], 2 * ref, atol=0
     )
+
+
+@pytest.mark.slow
+def test_extrinsic_estimation_converges():
+    """Online extrinsic calibration: with a ~5 cm translation error on
+    LiDAR 1's extrinsic, estimation at the reference's 1e-6 prior
+    (IMU_Processing.hpp:191-192) pulls the estimate toward truth, and
+    with extrinsic_est_en=False the extrinsic never moves (zero process
+    derivative + zeroed H block, laserMapping.cpp:291-308)."""
+    import dataclasses
+
+    true_ext = np.array([[0.2, 0.0, 0.0], [-0.3, 0.3, 0.1]])
+    seq = SyntheticSequence(
+        duration=4.0, num_lidars=2, points_per_scan=1024, ext_t=true_ext
+    )
+    imu, rounds, traj = seq.generate()
+    pert = true_ext.copy()
+    pert[1] += np.array([0.04, -0.03, 0.02])
+    err0 = np.linalg.norm(pert[1] - true_ext[1])
+
+    base = dataclasses.replace(_cfg(2, 1024), extrinsic_T=tuple(pert.reshape(-1)))
+
+    res_on = runner.run_sequence(
+        cfg := dataclasses.replace(base, extrinsic_est_en=True),
+        assemble_groups(cfg, imu, rounds),
+        dtype=jnp.float64,
+    )
+    ext_on = np.asarray(res_on["carry"].x.ext_t)
+    err_on = np.linalg.norm(ext_on[1] - true_ext[1])
+    # measured 5.39 -> 3.51 cm on this sequence; assert >=25% reduction
+    assert err_on < 0.75 * err0, (err0, err_on)
+
+    res_off = runner.run_sequence(
+        cfg2 := dataclasses.replace(base, extrinsic_est_en=False),
+        assemble_groups(cfg2, imu, rounds),
+        dtype=jnp.float64,
+    )
+    ext_off = np.asarray(res_off["carry"].x.ext_t)
+    np.testing.assert_allclose(ext_off[1], pert[1], atol=1e-12)
+    # both still track
+    for res in (res_on, res_off):
+        gt = traj.pos(res["t"])
+        assert ate.ate_rmse(res["pos"], gt, align=True) < 0.15
