@@ -33,6 +33,58 @@ CONFIGS = {
 }
 
 
+def _run_online(cfg, imu, rounds, dtype):
+    """Arrival-ordered replay through OnlineEstimator (a scan arrives at
+    its end time, an IMU sample at its stamp). Returns (res dict like
+    run_sequence's, per-round latency ms array)."""
+    import time as _time
+
+    from malio_tpu.online import OnlineEstimator
+
+    events = [("imu", row[0], row) for row in imu]
+    for rnd in rounds:
+        for l, s in enumerate(rnd):
+            rel = s["pts"].copy()
+            rel[:, 3] -= s["beg_t"]
+            events.append(
+                ("scan", s["end_t"], (l, s["beg_t"], rel, s["end_t"] - s["beg_t"]))
+            )
+    events.sort(key=lambda e: e[1])
+
+    est = OnlineEstimator(cfg, dtype=dtype)
+    recs, lat = [], []
+    for kind, _, payload in events:
+        if kind == "imu":
+            est.push_imu(payload[0], payload[1:4], payload[4:7])
+        else:
+            l, beg, rel, dur = payload
+            est.push_scan(l, beg, rel, duration=dur)
+        if est._pending:
+            t0 = _time.perf_counter()
+            recs.extend(est.poll())
+            lat.append((_time.perf_counter() - t0) * 1e3)
+            if len(recs) % 50 == 1:
+                r = recs[-1]
+                print(
+                    f"round {len(recs)} t={r['t']:.2f} eff={r['n_effective']} "
+                    f"map={r['map_size']} pos={r['pos'].round(2)}",
+                    flush=True,
+                )
+    est.flush()
+    recs.extend(est.poll())
+    res = dict(
+        t=np.asarray([r["t"] for r in recs]),
+        pos=np.asarray([r["pos"] for r in recs]),
+        quat=np.asarray([r["quat"] for r in recs]),
+    )
+    if est.n_dropped_scans or est.n_imu_regressions:
+        print(
+            f"dropped scans: {est.n_dropped_scans}, "
+            f"imu regressions: {est.n_imu_regressions}"
+        )
+    return res, np.asarray(lat[4:] if len(lat) > 8 else lat)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("root")
@@ -45,6 +97,26 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default="ckpts")
     ap.add_argument("--resume", default="")
+    ap.add_argument(
+        "--max-points",
+        type=int,
+        default=0,
+        help="override max_raw_points/max_points_per_scan (smaller pads for "
+        "small machines or decimated exports)",
+    )
+    ap.add_argument(
+        "--map-capacity",
+        type=int,
+        default=0,
+        help="override map hash capacity (slots)",
+    )
+    ap.add_argument(
+        "--online",
+        action="store_true",
+        help="feed the sequence through the push-style OnlineEstimator in "
+        "arrival order (the live-node execution shape) instead of batch "
+        "replay; reports per-round latency percentiles",
+    )
     ap.add_argument(
         "--smoother",
         action="store_true",
@@ -78,7 +150,13 @@ def main():
     from malio_tpu.eval import ate
 
     spec = CONFIGS[args.config]
-    cfg = getattr(cfg_mod, spec["factory"])()
+    overrides = {}
+    if args.max_points:
+        overrides["max_raw_points"] = args.max_points
+        overrides["max_points_per_scan"] = args.max_points
+    if args.map_capacity:
+        overrides["map_capacity"] = args.map_capacity
+    cfg = getattr(cfg_mod, spec["factory"])(**overrides)
     print(f"loading {args.root} ({args.config}, {cfg.num_lidars} LiDARs)...")
     imu, rounds = ds.load_sequence(
         args.root,
@@ -134,10 +212,24 @@ def main():
         from malio_tpu.smoother import WindowSmoother
 
         smoother = WindowSmoother(dtype=dtype)
-    res = runner.run_sequence(cfg, groups, dtype=dtype, callback=cb, smoother=smoother)
-    dt = time.time() - t0
-    n = len(res["t"])
-    print(f"{n} rounds in {dt:.1f}s ({n / dt:.2f} scans/s)")
+    if args.online:
+        res, lat = _run_online(cfg, imu, rounds, dtype)
+        dt = time.time() - t0
+        n = len(res["t"])
+        print(f"{n} rounds in {dt:.1f}s ({n / dt:.2f} scans/s)")
+        if lat.size:
+            print(
+                f"online push->pose latency ms: p50 {np.percentile(lat, 50):.1f} "
+                f"p90 {np.percentile(lat, 90):.1f} p99 {np.percentile(lat, 99):.1f}"
+            )
+        res["smoothed"] = None
+    else:
+        res = runner.run_sequence(
+            cfg, groups, dtype=dtype, callback=cb, smoother=smoother
+        )
+        dt = time.time() - t0
+        n = len(res["t"])
+        print(f"{n} rounds in {dt:.1f}s ({n / dt:.2f} scans/s)")
     ate.write_tum(args.out, res["t"], res["pos"], res["quat"])
     print(f"trajectory written to {args.out}")
     if smoother is not None and res["smoothed"] is not None:
