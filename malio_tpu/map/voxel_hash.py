@@ -222,6 +222,58 @@ def size(m: VoxelHashMap):
     return jnp.sum(m.occupied)
 
 
+def flatten(m: VoxelHashMap):
+    """Live map contents as flat arrays: (pts (T,3), covs (T,), occ (T,)).
+
+    The ikd-tree `flatten` analog (ikd_Tree.h:330, used to dump the map
+    for visualization at laserMapping.cpp:1016-1022); here the map is
+    already flat, so this is just the (points, covariances, occupancy)
+    view — mask with `occ` or compact on the host with extract_points."""
+    return m.points, m.covs, m.occupied
+
+
+def extract_points(m: VoxelHashMap):
+    """Host-side compaction of flatten(): (pts (n,3), covs (n,)) ndarrays
+    holding only the occupied cells — the input for a map PCD dump."""
+    occ = np.asarray(m.occupied)
+    return np.asarray(m.points)[occ], np.asarray(m.covs)[occ]
+
+
+def _masked_take(m: VoxelHashMap, mask, max_results: int):
+    """Compact up to max_results masked slots into fixed-shape arrays.
+    Returns (pts (K,3), covs (K,), valid (K,), total) where `total` is the
+    full match count (may exceed K — the caller sized the budget)."""
+    T = m.fp.shape[0]
+    idx = jnp.nonzero(mask, size=max_results, fill_value=T - 1)[0]
+    valid = jnp.arange(max_results) < jnp.sum(mask)
+    return (
+        m.points[idx],
+        m.covs[idx],
+        valid,
+        jnp.sum(mask).astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_results",))
+def box_search(m: VoxelHashMap, box_min, box_max, max_results: int = 1024):
+    """All stored points inside an axis-aligned box — the ikd-tree
+    Box_Search analog (ikd_Tree.h:327, Search_by_range). Fixed-shape:
+    up to max_results points plus the true match count.
+
+    Cost is one masked pass over the table (the same shape as
+    evict_outside); this is an occasional-use API, not the hot path."""
+    inside = jnp.all((m.points >= box_min) & (m.points <= box_max), axis=-1)
+    return _masked_take(m, m.occupied & inside, max_results)
+
+
+@functools.partial(jax.jit, static_argnames=("max_results",))
+def radius_search(m: VoxelHashMap, center, radius, max_results: int = 1024):
+    """All stored points within `radius` of `center` — the ikd-tree
+    Radius_Search analog (ikd_Tree.h:329, Search_by_radius)."""
+    d2 = jnp.sum((m.points - center) ** 2, axis=-1)
+    return _masked_take(m, m.occupied & (d2 <= radius * radius), max_results)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "radius"))
 def knn(m: VoxelHashMap, queries, k: int = NUM_MATCH_POINTS, radius: int = 1):
     """Batched k-NN over the voxel neighborhood.

@@ -174,3 +174,60 @@ def test_insert_overflow_counted():
     assert int(m.n_dropped) > 0
     # dropped + stored covers every distinct offered voxel at most once
     assert int(vh.size(m)) + int(m.n_dropped) >= 8
+
+
+def test_flatten_extract_points():
+    """flatten/extract_points (the ikdtree.flatten dump analog,
+    laserMapping.cpp:1016-1022) return exactly the live cells."""
+    m = make_map()
+    pts = jnp.asarray(rng.uniform(-20, 20, size=(300, 3)))
+    covs = jnp.asarray(rng.uniform(0.01, 0.2, size=(300,)))
+    m = vh.insert(m, pts, covs, jnp.ones(300, bool))
+    fpts, fcovs, occ = vh.flatten(m)
+    assert fpts.shape[0] == fcovs.shape[0] == occ.shape[0]
+    assert int(occ.sum()) == int(vh.size(m))
+
+    epts, ecovs = vh.extract_points(m)
+    assert epts.shape == (int(vh.size(m)), 3)
+    # every inserted voxel's stored point appears in the dump
+    keys_in = set(map(tuple, np.asarray(vh.voxel_key(m, pts))))
+    keys_out = set(map(tuple, np.asarray(vh.voxel_key(m, jnp.asarray(epts)))))
+    assert keys_out == keys_in
+    # dumped covariances are the per-voxel minima offered
+    assert float(ecovs.min()) >= float(np.asarray(covs).min()) - 1e-12
+    # after evicting everything the dump is empty
+    m2 = vh.evict_outside(m, jnp.asarray([100.0, 100, 100]), jnp.asarray([101.0, 101, 101]))
+    e2, _ = vh.extract_points(m2)
+    assert e2.shape[0] == 0
+
+
+def test_box_and_radius_search():
+    """Box_Search / Radius_Search analogs (ikd_Tree.h:327-329): fixed-shape
+    compaction returns exactly the brute-force member sets."""
+    m = make_map()
+    pts = np.asarray(rng.uniform(-10, 10, size=(400, 3)))
+    m = vh.insert(m, jnp.asarray(pts), jnp.full((400,), 0.1), jnp.ones(400, bool))
+    stored, _ = vh.extract_points(m)
+
+    bmin = np.asarray([-3.0, -3.0, -3.0])
+    bmax = np.asarray([4.0, 2.0, 5.0])
+    bp, bc, bvalid, btotal = vh.box_search(
+        m, jnp.asarray(bmin), jnp.asarray(bmax), max_results=512
+    )
+    want = stored[np.all((stored >= bmin) & (stored <= bmax), axis=-1)]
+    got = np.asarray(bp)[np.asarray(bvalid)]
+    assert int(btotal) == want.shape[0] == got.shape[0]
+    assert set(map(tuple, np.round(got, 6))) == set(map(tuple, np.round(want, 6)))
+
+    center = jnp.asarray([1.0, -2.0, 0.5])
+    rp, rc, rvalid, rtotal = vh.radius_search(m, center, 4.0, max_results=512)
+    d = np.linalg.norm(stored - np.asarray(center), axis=-1)
+    want_r = stored[d <= 4.0]
+    got_r = np.asarray(rp)[np.asarray(rvalid)]
+    assert int(rtotal) == want_r.shape[0] == got_r.shape[0]
+    assert set(map(tuple, np.round(got_r, 6))) == set(map(tuple, np.round(want_r, 6)))
+
+    # overflow: budget smaller than the match count still reports the total
+    sp, sc, svalid, stotal = vh.radius_search(m, center, 100.0, max_results=8)
+    assert int(stotal) == stored.shape[0]
+    assert int(np.asarray(svalid).sum()) == 8
