@@ -37,7 +37,7 @@ class MetricsLogger:
         self.prev_pos = None
         self._last = time.time()
 
-    def update(self, carry, out):
+    def update(self, carry, out, t_base=0.0):
         now = time.time()
         dt = now - self._last
         self._last = now
@@ -50,7 +50,7 @@ class MetricsLogger:
 
         rec = {
             "round": self.n,
-            "t": float(out.end_time),
+            "t": t_base + float(out.end_time),
             "pos": pos.tolist(),
             "quat": np.asarray(out.quat).tolist(),
             "iterations": int(out.iterations),
@@ -65,10 +65,10 @@ class MetricsLogger:
         if self.jsonl:
             self.jsonl.write(json.dumps(rec) + "\n")
         if self.dashboard and self.n % self.every == 0:
-            self._render(rec)
+            self._render(rec, carry)
         return rec
 
-    def _render(self, rec):
+    def _render(self, rec, carry=None):
         rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
         avg_ms = self.total_compute / max(self.n, 1) * 1000
         lines = [
@@ -83,6 +83,22 @@ class MetricsLogger:
             f"[Compute]            {rec['compute_ms']:.1f} ms  (avg {avg_ms:.1f} ms)",
             f"[RSS]                {rss_mb:.0f} MB",
         ]
+        if carry is not None:
+            # per-LiDAR extrinsic state + velocity, matching the reference
+            # dashboard (visualize_state, laserMapping.cpp:796-820)
+            vel = np.asarray(carry.x.vel)
+            lines.insert(
+                4,
+                f"[Velocity]           x={vel[0]:+.3f}  y={vel[1]:+.3f}  "
+                f"z={vel[2]:+.3f} m/s",
+            )
+            ext_t = np.asarray(carry.x.ext_t)
+            ext_r = np.asarray(carry.x.ext_r)
+            for l in range(ext_t.shape[0]):
+                lines.append(
+                    f"[LiDAR-IMU ext {l}]    t={np.round(ext_t[l], 4).tolist()} "
+                    f"q(wxyz)={np.round(ext_r[l], 5).tolist()}"
+                )
         sys.stdout.write("\x1b[2J\x1b[H" + "\n".join(lines) + "\n")
         sys.stdout.flush()
 

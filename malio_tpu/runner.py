@@ -256,7 +256,9 @@ def run_sequence(
             if smoother is not None:
                 smoother.observe(out, t_base=float(bases[k]))
             if callback is not None:
-                callback(carry, out)
+                # out.end_time is group-relative (f32-safe on device);
+                # bases[k] restores the absolute f64 timeline
+                callback(carry, out, float(bases[k]))
         # one sync per chunk; keep only the small fields so long sequences
         # don't accumulate per-round point clouds in device memory
         for o, b in chunk_outs:

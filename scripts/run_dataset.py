@@ -76,6 +76,7 @@ def _run_online(cfg, imu, rounds, dtype):
         t=np.asarray([r["t"] for r in recs]),
         pos=np.asarray([r["pos"] for r in recs]),
         quat=np.asarray([r["quat"] for r in recs]),
+        carry=est.carry,
     )
     if est.n_dropped_scans or est.n_imu_regressions:
         print(
@@ -131,6 +132,23 @@ def main():
         " (pcd_save, laserMapping.cpp:467-488)",
     )
     ap.add_argument("--cloud-dir", default="PCD")
+    ap.add_argument(
+        "--save-map",
+        default="",
+        help="write the final live voxel map to this PCD file (intensity = "
+        "stored covariance) — the ikdtree.flatten dump analog",
+    )
+    ap.add_argument(
+        "--dashboard",
+        action="store_true",
+        help="live console dashboard (visualize_state analog); offline "
+        "replay mode only",
+    )
+    ap.add_argument(
+        "--metrics-jsonl",
+        default="",
+        help="append per-round structured metrics to this JSONL file",
+    )
     args = ap.parse_args()
 
     import jax
@@ -180,9 +198,18 @@ def main():
     k = [0]
     cloud_acc = []
     pcd_idx = [0]
+    logger = None
+    if args.dashboard or args.metrics_jsonl:
+        from malio_tpu.metrics import MetricsLogger
 
-    def cb(carry, out):
+        logger = MetricsLogger(
+            jsonl_path=args.metrics_jsonl or None, dashboard=args.dashboard
+        )
+
+    def cb(carry, out, t_base=0.0):
         k[0] += 1
+        if logger is not None:
+            logger.update(carry, out, t_base)
         if args.checkpoint_every and k[0] % args.checkpoint_every == 0:
             checkpoint.save(
                 pathlib.Path(args.checkpoint_dir) / f"round_{k[0]:06d}.npz", carry
@@ -199,7 +226,7 @@ def main():
                     np.concatenate(cloud_acc),
                 )
                 cloud_acc.clear()
-        if k[0] % 50 == 1:
+        if k[0] % 50 == 1 and not args.dashboard:
             print(
                 f"round {k[0]} t={float(out.end_time):.2f} "
                 f"eff={int(out.n_effective)} map={int(out.map_size)} "
@@ -230,8 +257,17 @@ def main():
         dt = time.time() - t0
         n = len(res["t"])
         print(f"{n} rounds in {dt:.1f}s ({n / dt:.2f} scans/s)")
+    if logger is not None:
+        logger.close()
     ate.write_tum(args.out, res["t"], res["pos"], res["quat"])
     print(f"trajectory written to {args.out}")
+    if args.save_map and res.get("carry") is not None:
+        from malio_tpu.io.pcd import write_pcd
+        from malio_tpu.map import voxel_hash as vh
+
+        mpts, mcovs = vh.extract_points(res["carry"].map)
+        write_pcd(args.save_map, mpts, intensity=mcovs)
+        print(f"live map ({mpts.shape[0]} voxels) written to {args.save_map}")
     if smoother is not None and res["smoothed"] is not None:
         ts, ps, qs = res["smoothed"]
         if len(ts):

@@ -78,9 +78,9 @@ def main():
     t0 = time.time()
     diag_rows = []
 
-    def cb(carry, out):
+    def cb(carry, out, t_base=0.0):
         diag_rows.append(
-            (float(out.end_time), int(out.iterations), int(out.n_effective), int(out.map_size))
+            (t_base + float(out.end_time), int(out.iterations), int(out.n_effective), int(out.map_size))
         )
         if len(diag_rows) % 10 == 1:
             e, i, n, m = diag_rows[-1]
