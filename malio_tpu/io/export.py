@@ -91,7 +91,10 @@ def write_dataset(
             else:
                 recs = _velodyne_records(rel)
             recs.tofile(d / f"{stamp}.bin")
-            stamp_rows.append((stamp, dirname))
+            # data_stamp names are the reference's dispatch keys
+            # ("ouster"/"livox_avia"/... , ROSThread.cpp:440-456), not the
+            # on-disk directory names
+            stamp_rows.append((stamp, sensor))
 
     # xsens_imu.csv, 11-column format (stamp, quat wxyz, gyro, acc)
     lines = []
