@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--map-capacity", type=int, default=19)
     ap.add_argument("--lidars", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--trace",
+        default="",
+        help="also capture a JAX profiler trace of one full-step call into "
+        "this directory (open with TensorBoard / xprof)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -126,6 +132,13 @@ def main():
     step_j = jax.jit(lambda c, g: pipeline.step(cfg, c, g))
     t, _ = kernel_timer(step_j, carry, group)
     results["full_step"] = t
+
+    if args.trace:
+        # structured tracing (SURVEY §5: the reference has only wall-clock
+        # printfs; profiler traces are the rebuild's first-class analog)
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(step_j(carry, group))
+        print(json.dumps({"trace": args.trace}))
 
     dev = jax.devices()[0].platform
     for k, v in results.items():
