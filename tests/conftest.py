@@ -13,6 +13,7 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
@@ -22,3 +23,24 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-cpu-tests")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# Every XLA:CPU executable holds many mmaps (LLVM JIT code sections); a
+# full-suite process accumulates compiled programs until it exhausts the
+# kernel's vm.max_map_count (65530 default), after which LLVM's mmap
+# fails ("LLVM compilation error: Cannot allocate memory") and the next
+# compile SEGVs/aborts inside XLA — observed ~50 tests in, always during
+# a cache write. Shed all executable caches when the map table gets
+# close; the persistent compile cache makes the subsequent reloads cheap.
+_MAP_SHED_THRESHOLD = 30_000
+
+
+@pytest.fixture(autouse=True)
+def _shed_executable_maps():
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > _MAP_SHED_THRESHOLD:
+        jax.clear_caches()

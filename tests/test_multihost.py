@@ -54,7 +54,10 @@ def test_two_process_cross_host_step():
         )
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=560)
+        # generous: both subprocesses share the 2-core host with the
+        # pytest process, and a cold compile cache makes the sharded
+        # step's compile slow (103 s isolated, >560 s seen in-suite)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"pid {pid} failed:\n{out[-3000:]}"
