@@ -151,8 +151,16 @@ def city_ouster_config(**overrides) -> Config:
 
 
 def urbannav_config(**overrides) -> Config:
-    """2-LiDAR UrbanNav configuration (config/UrbanNav.yaml:1-48)."""
+    """2-LiDAR UrbanNav configuration (config/UrbanNav.yaml:1-48 plus the
+    launch overrides, launch/mapping_urban.launch:9-15 — identical to the
+    City launch: max_iteration=3, cube 1000, plane_th 0.4, filter 0.5;
+    the parameters.cpp defaults (4 / 200 / 0.1) are never what runs)."""
     base = dict(
+        max_iteration=3,
+        cube_len=1000.0,
+        plane_th=0.4,
+        filter_size_surf=0.5,
+        filter_size_map=0.5,
         num_lidars=2,
         lid_type=(2, 2),
         n_scans=(32, 16),

@@ -69,6 +69,52 @@ def test_export_roundtrip_livox_velodyne(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_dataset_cli_urbannav_end_to_end(tmp_path):
+    """The UrbanNav workflow end to end: 2 asynchronous Velodynes (one
+    with the rig's large rotation extrinsic), 400 Hz IMU, f32-seconds
+    per-point time fields (timestamp_unit=SEC), driven through the real
+    CLI with the urbannav config (config/UrbanNav.yaml:1-48)."""
+    from malio_tpu.config import urbannav_config
+
+    cfg = urbannav_config()
+    ext_t = np.asarray(cfg.extrinsic_T).reshape(2, 3)
+    ext_q = np.asarray(cfg.extrinsic_R).reshape(2, 4)
+    seq = SyntheticSequence(
+        duration=3.0,
+        num_lidars=2,
+        points_per_scan=4096,
+        imu_rate=400.0,
+        ext_t=ext_t,
+        ext_q_wxyz=ext_q,
+    )
+    imu, rounds, traj = seq.generate()
+    root = tmp_path / "UrbanNavSynth"
+    write_dataset(root, imu, rounds, ["vlp_left", "vlp_right"], traj=traj)
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    out = tmp_path / "traj.txt"
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "scripts" / "run_dataset.py"),
+            str(root),
+            "--config", "urbannav",
+            "--cpu", "--f64",
+            "--max-points", "2048",
+            "--map-capacity", str(1 << 17),
+            "--out", str(out),
+        ],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    rows = np.loadtxt(out)
+    assert rows.shape[0] >= 20 and rows.shape[1] == 8
+    m = re.search(r"ATE RMSE \(aligned\) vs groundtruth: ([0-9.]+) m", r.stdout)
+    assert m, r.stdout[-2000:]
+    assert float(m.group(1)) < 0.5, r.stdout[-1500:]
+
+
+@pytest.mark.slow
 def test_run_dataset_cli_end_to_end(tmp_path):
     """The real CLI on an exported tree: decode (8x decimation), grouping,
     fusion, TUM output, groundtruth ATE — the City workflow end to end."""
