@@ -281,6 +281,8 @@ def main():
         if len(ia) > 10:
             err = ate.ate_rmse(res["pos"][ia], pg[ib], align=True)
             print(f"ATE RMSE (aligned) vs groundtruth: {err:.4f} m")
+            rpe = ate.rpe_rmse(res["pos"][ia], pg[ib])
+            print(f"RPE RMSE (delta=10 frames) vs groundtruth: {rpe:.4f} m")
 
 
 if __name__ == "__main__":
