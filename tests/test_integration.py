@@ -135,6 +135,39 @@ def test_three_lidar_city_style_fusion():
     assert res["n_effective"][-1] > 300
 
 
+@pytest.mark.slow
+def test_three_lidar_city_rig_rotated_extrinsics():
+    """The actual City rig geometry (config/City.yaml:24-29): Livox Avia
+    mounted ~90 deg yawed, Livox Tele ~180 deg flipped. Rotation
+    extrinsics exercise deskew/fusion paths that identity quaternions
+    cancel out of (a sign error in the ext sandwich is invisible at
+    R = I)."""
+    import dataclasses
+
+    from malio_tpu.config import city_config
+
+    city = city_config()
+    ext_t = np.asarray(city.extrinsic_T).reshape(3, 3)
+    ext_q = np.asarray(city.extrinsic_R).reshape(3, 4)
+    cfg = dataclasses.replace(
+        _cfg(3, 768),
+        extrinsic_T=tuple(ext_t.reshape(-1)),
+        extrinsic_R=tuple(ext_q.reshape(-1)),
+        extrinsic_est_en=False,
+    )
+    seq = SyntheticSequence(
+        duration=3.5, num_lidars=3, points_per_scan=768,
+        ext_t=ext_t, ext_q_wxyz=ext_q,
+    )
+    imu, rounds, traj = seq.generate()
+    groups = assemble_groups(cfg, imu, rounds)
+    res = runner.run_sequence(cfg, groups, dtype=jnp.float64)
+    gt = traj.pos(res["t"])
+    err_aligned = ate.ate_rmse(res["pos"], gt, align=True)
+    assert err_aligned < 0.15, err_aligned
+    assert res["n_effective"][-1] > 300
+
+
 def test_process_noise_source_switch():
     """Q's gyr/acc block: 'measured' uses the init window's sample
     variance (the reference quirk, IMU_Processing.hpp:142-186);
