@@ -35,6 +35,16 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
     import jax
 
+    # Honor JAX_PLATFORMS=cpu explicitly: environments whose
+    # sitecustomize registers a TPU plugin at interpreter start (the
+    # axon terminal here) call jax.config.update("jax_platforms", ...)
+    # which CLOBBERS the env var — without this, the "CPU" smoke
+    # subprocesses silently grab the real TPU chip, the backend comes up
+    # single-process (process_count()==1), and every cross-host assert
+    # degenerates. Must run before the first backend query.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     kw = {}
     if coordinator_address is not None:
         kw["coordinator_address"] = coordinator_address

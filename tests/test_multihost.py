@@ -3,6 +3,7 @@ spanning processes (VERDICT round-1 item 5; BASELINE config 4's code path
 — scaling itself still needs real multi-host hardware)."""
 import os
 import pathlib
+import re
 import socket
 import subprocess
 import sys
@@ -62,3 +63,12 @@ def test_two_process_cross_host_step():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"pid {pid} failed:\n{out[-3000:]}"
         assert "multihost smoke ok" in out, out[-2000:]
+        # the backend must actually be multi-process: sitecustomize's TPU
+        # plugin clobbers JAX_PLATFORMS=cpu (multihost.initialize restores
+        # it); before that fix both subprocesses silently grabbed the TPU
+        # chip as two independent single-process runs and every
+        # cross-host assert degenerated to mp=1
+        assert f"pid {pid}/2" in out, out[-2000:]
+        assert "mp=2" in out, out[-2000:]
+        m = re.search(r"map shard rows (\d+)/(\d+)", out)
+        assert m and int(m.group(1)) * 2 <= int(m.group(2)) + 2, m.group(0)
