@@ -125,6 +125,21 @@ def _smoke():
         procs = {d.process_index for d in arr[r]}
         assert len(procs) == jax.process_count(), procs
 
+    # Establish the gloo context NOW, while the processes are still in
+    # lockstep: the first collective performs the TCP/KV rendezvous
+    # under a hard ~30 s deadline inside XLA, and the reference/sharded
+    # step compiles below take minutes on a contended 2-core host — if
+    # the first collective ran after them, one process could reach it
+    # >30 s before the other and the rendezvous would DEADLINE_EXCEED.
+    probe = global_from_host(
+        mesh,
+        NamedSharding(mesh, Ps("dp", "mp")),
+        np.ones((dp, mp), np.float32),
+    )
+    with mesh:
+        total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, Ps()))(probe)
+    assert float(total) == dp * mp, float(total)
+
     cfg = ge._tiny_cfg(L=2, pts=128)
     carry, group = ge._dummy_inputs(cfg, dtype=jnp.float64)
 
