@@ -276,13 +276,23 @@ def main():
 
     gt_file = pathlib.Path(args.root) / "Groundtruth.txt"
     if gt_file.exists():
-        tg, pg, _ = ate.read_tum(gt_file)
+        tg, pg, qg = ate.read_tum(gt_file)
         ia, ib = ate.associate(res["t"], tg - tg[0])
         if len(ia) > 10:
             err = ate.ate_rmse(res["pos"][ia], pg[ib], align=True)
-            print(f"ATE RMSE (aligned) vs groundtruth: {err:.4f} m")
-            rpe = ate.rpe_rmse(res["pos"][ia], pg[ib])
-            print(f"RPE RMSE (delta=10 frames) vs groundtruth: {rpe:.4f} m")
+            rot_err = ate.rot_ate_rmse(
+                res["quat"][ia], qg[ib], res["pos"][ia], pg[ib], align=True
+            )
+            print(
+                f"ATE RMSE (aligned) vs groundtruth: {err:.4f} m / "
+                f"{np.degrees(rot_err):.3f} deg"
+            )
+            rpe = ate.se3_rpe(res["pos"][ia], res["quat"][ia], pg[ib], qg[ib])
+            print(
+                f"RPE RMSE (delta=10 frames) vs groundtruth: "
+                f"{rpe['trans_rmse']:.4f} m / "
+                f"{np.degrees(rpe['rot_rmse']):.3f} deg"
+            )
 
 
 if __name__ == "__main__":

@@ -66,3 +66,102 @@ def test_rpe_drift_insensitive_but_scale_sensitive():
     assert ate.rpe_rmse(scaled, pos, delta=10) > 0.01
     # too-short trajectory -> nan, not crash
     assert np.isnan(ate.rpe_rmse(pos[:5], pos[:5], delta=10))
+
+
+# ---------------------------------------------------------------------
+# SE(3) RPE + rotation ATE (evo-equivalent; hand-computed cases)
+# ---------------------------------------------------------------------
+
+
+def _yaw_quat(a):
+    return np.array([np.cos(a / 2), 0.0, 0.0, np.sin(a / 2)])
+
+
+def test_se3_rpe_hand_computed():
+    """Two-pose case with known relative errors: gt moves 1 m forward and
+    yaws 90 deg; est adds 0.1 m lateral slip and theta extra yaw."""
+    theta = 0.05
+    gt_pos = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    gt_quat = np.stack([_yaw_quat(0.0), _yaw_quat(np.pi / 2)])
+    est_pos = np.array([[0.0, 0, 0], [1.0, 0.1, 0]])
+    est_quat = np.stack([_yaw_quat(0.0), _yaw_quat(np.pi / 2 + theta)])
+    r = ate.se3_rpe(est_pos, est_quat, gt_pos, gt_quat, delta=1)
+    assert np.isclose(r["trans_rmse"], 0.1, atol=1e-12)
+    assert np.isclose(r["rot_rmse"], theta, atol=1e-12)
+    # translation-part wrapper agrees
+    assert np.isclose(
+        ate.rpe_rmse(est_pos, gt_pos, 1, est_quat, gt_quat), 0.1, atol=1e-12
+    )
+
+
+def test_se3_rpe_sees_frame_rotation_error():
+    """A pure orientation error at the anchor pose rotates the relative
+    translation into the wrong body frame — the position-only drift proxy
+    could never see this."""
+    gt_pos = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    gt_quat = np.stack([_yaw_quat(0.0), _yaw_quat(0.0)])
+    est_pos = gt_pos.copy()  # positions identical!
+    est_quat = np.stack([_yaw_quat(np.pi / 2), _yaw_quat(np.pi / 2)])
+    r = ate.se3_rpe(est_pos, est_quat, gt_pos, gt_quat, delta=1)
+    # t_rel_est = Rz(-90)(1,0,0) = (0,-1,0); |(0,-1,0)-(1,0,0)| = sqrt(2)
+    assert np.isclose(r["trans_rmse"], np.sqrt(2.0), atol=1e-12)
+    assert np.isclose(r["rot_rmse"], 0.0, atol=1e-12)  # relative rot exact
+
+
+def test_se3_rpe_short_trajectory_nan():
+    r = ate.se3_rpe(np.zeros((3, 3)), np.tile([1.0, 0, 0, 0], (3, 1)),
+                    np.zeros((3, 3)), np.tile([1.0, 0, 0, 0], (3, 1)), delta=5)
+    assert np.isnan(r["trans_rmse"]) and np.isnan(r["rot_rmse"])
+
+
+def test_rot_ate_constant_offset():
+    """est = fixed extra yaw on every gt orientation -> rot ATE = that
+    angle exactly (align=False)."""
+    rng = np.random.default_rng(3)
+    n = 50
+    gt_quat = np.stack([_yaw_quat(a) for a in rng.uniform(-2, 2, n)])
+    off = 0.15
+    est_quat = np.stack(
+        [ate._quat_mul(_yaw_quat(off), q) for q in gt_quat]
+    )
+    err = ate.rot_ate_rmse(est_quat, gt_quat, align=False)
+    assert np.isclose(err, off, atol=1e-12)
+    # sign flip of a quaternion is the same rotation
+    est_quat[::2] *= -1.0
+    assert np.isclose(ate.rot_ate_rmse(est_quat, gt_quat, align=False), off,
+                      atol=1e-12)
+
+
+def test_rot_ate_alignment_absorbs_global_rotation():
+    """Rotating the whole trajectory (positions AND orientations) is
+    gauge, not error: aligned translation AND rotation ATE both vanish."""
+    rng = np.random.default_rng(5)
+    n = 80
+    t = np.arange(n) * 0.1
+    pos = np.cumsum(rng.normal(size=(n, 3)) * 0.1, axis=0)
+    quat = np.stack([_yaw_quat(a) for a in np.sin(t)])
+    ang = 1.1
+    Rg = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0],
+         [0, 0, 1.0]]
+    )
+    qg = ate._mat_to_quat(Rg)
+    est_pos = pos @ Rg.T + np.array([3.0, -1.0, 2.0])
+    est_quat = np.stack([ate._quat_mul(qg, q) for q in quat])
+    assert ate.ate_rmse(est_pos, pos, align=True) < 1e-9
+    assert ate.rot_ate_rmse(est_quat, quat, est_pos, pos, align=True) < 1e-9
+    # unaligned it is exactly the applied angle
+    assert np.isclose(ate.rot_ate_rmse(est_quat, quat, align=False), ang,
+                      atol=1e-9)
+
+
+def test_mat_to_quat_roundtrip():
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        v = rng.normal(size=3)
+        a = np.linalg.norm(v)
+        q = np.concatenate([[np.cos(a / 2)], np.sin(a / 2) * v / a])
+        # quat -> matrix (via rotating basis vectors) -> quat
+        R = np.stack([ate._quat_rot(q, e) for e in np.eye(3)], axis=1)
+        q2 = ate._mat_to_quat(R)
+        assert min(np.abs(q2 - q).max(), np.abs(q2 + q).max()) < 1e-9

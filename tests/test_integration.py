@@ -59,6 +59,16 @@ def test_single_lidar_tracks_trajectory():
     # the robot travels ~8 m; dead-reckoning alone diverges to meters
     assert err_aligned < 0.10, (err_aligned, err_raw)
     assert err_raw < 0.25, (err_aligned, err_raw)
+    # rotation ATE + SE(3) RPE against the analytic trajectory (Rz-only)
+    gt_quat = np.stack(
+        [np.array([np.cos(a / 2), 0, 0, np.sin(a / 2)])
+         for a in SyntheticSequence.rot_angles(traj, res["t"])]
+    )
+    rot_err = ate.rot_ate_rmse(res["quat"], gt_quat, res["pos"], gt, align=True)
+    assert rot_err < np.radians(2.0), np.degrees(rot_err)
+    rpe = ate.se3_rpe(res["pos"], res["quat"], gt, gt_quat, delta=10)
+    assert rpe["trans_rmse"] < 0.10, rpe
+    assert rpe["rot_rmse"] < np.radians(1.0), np.degrees(rpe["rot_rmse"])
     # effective correspondences must bootstrap, not decay
     assert res["n_effective"][-1] > 500
     # per-round pose covariance: SPD, shrinking as the map constrains the
