@@ -81,6 +81,14 @@ class Config:
     epoch_capacity: int = 64  # uncertainty epochs per LiDAR per scan
     map_capacity: int = 1 << 21  # voxel hash slots
     knn_radius: int = 1  # voxel neighborhood Chebyshev radius
+    # escalating k-NN reach (voxel_hash.knn): queries failing the
+    # reference acceptance rule (5 found, 5th d2 <= 5 — laserMapping.cpp
+    # :587) under the base window re-search a ball-pruned wide window, so
+    # sparse scenes (early map, tunnels, long range) keep the
+    # correspondences the reference's exact tree search would find.
+    # wide_radius should be >= ceil(sqrt(5)/filter_size_map); 0 disables.
+    knn_wide_radius: int = 0
+    knn_wide_budget: int = 0  # max escalated queries per search pass
 
     # --- replay / misc ---
     init_time: float = 0.1  # laserMapping.cpp:37 (INIT_TIME)
@@ -130,6 +138,9 @@ def city_config(**overrides) -> Config:
         localize_cov_min=0.3,
         localize_thresh_max=0.7,
         localize_thresh_min=0.2,
+        # reference-reach k-NN: ceil(sqrt(5)/0.5) = 5 voxels
+        knn_wide_radius=5,
+        knn_wide_budget=1024,
     )
     base.update(overrides)
     return Config(**base)
@@ -185,6 +196,8 @@ def urbannav_config(**overrides) -> Config:
         localize_thresh_min=0.2,
         max_imu_per_group=128,  # 400 Hz IMU
         traj_capacity=256,
+        knn_wide_radius=5,
+        knn_wide_budget=1024,
     )
     base.update(overrides)
     return Config(**base)

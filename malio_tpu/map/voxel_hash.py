@@ -106,11 +106,29 @@ def _fingerprint(keys):
     """Nonzero 32-bit fingerprint of a voxel key (0 is reserved for empty).
 
     Identity checks compare fingerprints instead of full keys — one word
-    per probe instead of 3 + occupancy. A collision (~2^-32) momentarily
-    offers a far-away candidate point, which the distance top-k then
-    discards (or, on insert, merges two voxels under the lowest-cov
-    policy — benign)."""
-    f = (keys[..., 0] * _F1) ^ (keys[..., 1] * _F2) ^ (keys[..., 2] * _F3)
+    per probe instead of 3 + occupancy.
+
+    Construction matters: the round-2 XOR-of-products scheme
+    (x*F1 ^ y*F2 ^ z*F3) collides STRUCTURALLY — each axis term cancels
+    independently, so one bad (x,z)/(x',z') value pair collides for EVERY
+    y (found in the wide-window recall test: cell (2,y,2) == (-2,y,-2)).
+    The additive combine is linear with constant per-Δ difference
+    (h(k+Δ)-h(k) = Δ·F mod 2^32), so keys within a search window (|Δ| <=
+    ~10 voxels) can only collide if Δ·F ≡ 0 — verified exhaustively false
+    for |Δ|inf <= 12 (tests/test_map.py::test_fingerprint_window_collision_free).
+    The murmur3 finalizer is a BIJECTION on uint32, adding avalanche
+    without creating new collisions. Far-away collisions (~2^-32,
+    unstructured) offer a far candidate that the distance top-k discards
+    (or, on insert, merge two voxels under the lowest-cov policy —
+    benign)."""
+    h = keys[..., 0] * _F1 + keys[..., 1] * _F2 + keys[..., 2] * _F3
+    u = h.astype(jnp.uint32)
+    u = u ^ (u >> 16)
+    u = u * np.uint32(0x85EBCA6B)
+    u = u ^ (u >> 13)
+    u = u * np.uint32(0xC2B2AE35)
+    u = u ^ (u >> 16)
+    f = u.astype(jnp.int32)
     return jnp.where(f == 0, jnp.int32(1), f)
 
 
@@ -274,26 +292,32 @@ def radius_search(m: VoxelHashMap, center, radius, max_results: int = 1024):
     return _masked_take(m, m.occupied & (d2 <= radius * radius), max_results)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "radius"))
-def knn(m: VoxelHashMap, queries, k: int = NUM_MATCH_POINTS, radius: int = 1):
-    """Batched k-NN over the voxel neighborhood.
+def _cube_offsets(radius: int) -> np.ndarray:
+    d = np.arange(-radius, radius + 1)
+    return np.stack(np.meshgrid(d, d, d, indexing="ij"), -1).reshape(-1, 3)
 
-    queries: (Q, 3) world points. Returns:
-      nn_pts  (Q, k, 3), nn_covs (Q, k), nn_d2 (Q, k)  sorted ascending,
-      nn_cnt  (Q,) number of real neighbors found (<= k).
 
-    Replaces ikd-tree Nearest_Search (ikd_Tree.cpp:1073-1255); the caller
-    applies the reference's acceptance rule (found >= 5 and 5th dist^2 <= 5,
-    laserMapping.cpp:587).
+def _ball_offsets(radius: int) -> np.ndarray:
+    """Cells whose minimum distance to the query cell is <= radius voxels.
 
-    Cost shape: per query, V=(2r+1)^3 fingerprint slice-gathers (32 B
-    contiguous each) + V packed-record gathers (16 B each); all selection
-    afterwards is in-register VPU work.
-    """
+    A point in the query cell and a point in cell offset o are at least
+    max(|o|-1, 0) voxels apart per axis, so cube corners beyond the
+    Euclidean reach are provably irrelevant and pruned statically (~32%
+    of the (2r+1)^3 cube at r=5) — the array-program analog of the
+    ikd-tree's bounding-box pruning (ikd_Tree.cpp:1073-1255)."""
+    offs = _cube_offsets(radius)
+    gap = np.maximum(np.abs(offs) - 1, 0)
+    return offs[(gap * gap).sum(-1) <= radius * radius]
+
+
+def _knn_window(m: VoxelHashMap, queries, k: int, offs: np.ndarray):
+    """k nearest stored points over a static voxel-offset window.
+
+    Cost shape: per query, V fingerprint slice-gathers (32 B contiguous
+    each) + V packed-record gathers (16 B each); all selection afterwards
+    is in-register VPU work."""
     C = m.capacity
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
-    offs = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), axis=-1).reshape(-1, 3)
-
+    offs = jnp.asarray(offs, jnp.int32)
     qkeys = voxel_key(m, queries)  # (Q, 3)
     nkeys = qkeys[:, None, :] + offs[None, :, :]  # (Q, V, 3)
     h = _hash(nkeys, C)  # (Q, V)
@@ -316,3 +340,70 @@ def knn(m: VoxelHashMap, queries, k: int = NUM_MATCH_POINTS, radius: int = 1):
     nn_covs = jnp.take_along_axis(cand_cov, idx, axis=1)
     nn_cnt = jnp.sum(nn_d2 < big, axis=-1)
     return nn_pts, nn_covs, nn_d2, nn_cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "radius", "wide_radius", "wide_budget")
+)
+def knn(
+    m: VoxelHashMap,
+    queries,
+    k: int = NUM_MATCH_POINTS,
+    radius: int = 1,
+    wide_radius: int = 0,
+    wide_budget: int = 0,
+    qmask=None,
+    accept_d2=5.0,
+):
+    """Batched k-NN over the voxel neighborhood, with optional escalation.
+
+    queries: (Q, 3) world points. Returns:
+      nn_pts  (Q, k, 3), nn_covs (Q, k), nn_d2 (Q, k)  sorted ascending,
+      nn_cnt  (Q,) number of real neighbors found (<= k).
+
+    Replaces ikd-tree Nearest_Search (ikd_Tree.cpp:1073-1255); the caller
+    applies the reference's acceptance rule (found >= 5 and 5th dist^2 <=
+    accept_d2 = 5, laserMapping.cpp:587).
+
+    Reach semantics: the base (2*radius+1)^3 window sees ~1 voxel around
+    the query, but the reference's exact tree search reaches to
+    sqrt(accept_d2) ~ 2.24 m globally. With wide_radius > radius and
+    wide_budget > 0, up to wide_budget queries that FAIL the acceptance
+    rule under the base window (< k found, or k-th d2 > accept_d2) are
+    re-searched over the statically ball-pruned wide window — one extra
+    fixed-shape gather pass over the few misses instead of a 125x cost on
+    every query. Choose wide_radius >= ceil(sqrt(accept_d2)/voxel_size)
+    (5 at the City 0.5 m voxel): every cell that can hold a point within
+    the acceptance ball is then visited, so escalated queries get their
+    EXACT nearest neighbors whenever the reference would accept them.
+    Escalations beyond wide_budget keep the base-window result (graceful
+    degradation; size the budget for the sparse-scene worst case).
+    qmask masks queries (padded lanes) out of the escalation budget.
+    """
+    nn_pts, nn_covs, nn_d2, nn_cnt = _knn_window(
+        m, queries, k, _cube_offsets(radius)
+    )
+    if wide_budget <= 0 or wide_radius <= radius:
+        return nn_pts, nn_covs, nn_d2, nn_cnt
+
+    Q = queries.shape[0]
+    accept_d2 = jnp.asarray(accept_d2, nn_d2.dtype)
+    need = ~((nn_cnt >= k) & (nn_d2[:, k - 1] <= accept_d2))
+    if qmask is not None:
+        need = need & qmask
+    idx = jnp.nonzero(need, size=wide_budget, fill_value=Q)[0]
+    live = idx < Q
+    safe = jnp.minimum(idx, Q - 1)
+    w_pts, w_covs, w_d2, w_cnt = _knn_window(
+        m, queries[safe], k, _ball_offsets(wide_radius)
+    )
+    # the wide window is a superset of the base window (all |o| <= 1 cells
+    # pass the ball prune), so its result replaces the base row outright;
+    # dead lanes scatter to row Q, which mode="drop" discards
+    tgt = jnp.where(live, safe, Q)
+    return (
+        nn_pts.at[tgt].set(w_pts, mode="drop"),
+        nn_covs.at[tgt].set(w_covs, mode="drop"),
+        nn_d2.at[tgt].set(w_d2, mode="drop"),
+        nn_cnt.at[tgt].set(w_cnt, mode="drop"),
+    )

@@ -174,7 +174,14 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
         # are cached with the search) ---
         def do_search(_):
             nn_pts, nn_covs, nn_d2, nn_cnt = vh.knn(
-                map_state, p_world, k=NUM_MATCH, radius=cfg.knn_radius
+                map_state,
+                p_world,
+                k=NUM_MATCH,
+                radius=cfg.knn_radius,
+                wide_radius=cfg.knn_wide_radius,
+                wide_budget=cfg.knn_wide_budget,
+                qmask=data.pt_mask,
+                accept_d2=NN_REJECT_D2,
             )
             # absent neighbors gather empty-slot records whose stored cov
             # is +inf; left in place they turn the plane-quality value NaN

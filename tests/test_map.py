@@ -231,3 +231,188 @@ def test_box_and_radius_search():
     sp, sc, svalid, stotal = vh.radius_search(m, center, 100.0, max_results=8)
     assert int(stotal) == stored.shape[0]
     assert int(np.asarray(svalid).sum()) == 8
+
+
+# ---------------------------------------------------------------------
+# escalating wide-window k-NN: reference-reach parity (the ikd-tree
+# searches globally and the acceptance rule reaches sqrt(5) ~ 2.24 m,
+# laserMapping.cpp:587 / ikd_Tree.cpp:1073-1255; the 27-cell window
+# alone sees ~1 voxel)
+# ---------------------------------------------------------------------
+
+
+def _ref_accept(stored, q, accept_d2=5.0, k=5):
+    """The reference's decision: exact k-NN over ALL stored points,
+    accept iff k found and k-th d2 <= accept_d2."""
+    if stored.shape[0] < k:
+        return False, None
+    idx, d2 = brute_knn(stored, q, k)
+    return bool(d2[-1] <= accept_d2), stored[idx]
+
+
+def _tunnel_map_and_queries(n_q=400, seed=42):
+    """Sparse tunnel: two walls + ceiling sampled at ~1.2 m spacing (early
+    map / degenerate corridor density — City02's 400 m tunnel regime).
+    Most queries have fewer than 5 stored points within one voxel reach
+    but plenty within the 2.24 m acceptance ball."""
+    r = np.random.default_rng(seed)
+    xs = np.arange(0.0, 60.0, 1.2)
+    zs = np.arange(0.0, 5.0, 1.2)
+    wall = np.stack(np.meshgrid(xs, zs, indexing="ij"), -1).reshape(-1, 2)
+    left = np.stack([wall[:, 0], np.full(len(wall), -3.0), wall[:, 1]], -1)
+    right = np.stack([wall[:, 0], np.full(len(wall), 3.0), wall[:, 1]], -1)
+    ys = np.arange(-3.0, 3.0, 1.2)
+    ceil_g = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    ceiling = np.stack([ceil_g[:, 0], ceil_g[:, 1], np.full(len(ceil_g), 5.0)], -1)
+    stored = np.concatenate([left, right, ceiling])
+    stored = stored + r.normal(size=stored.shape) * 0.05
+
+    # queries hug the walls/ceiling with up to ~1 m standoff: the sparse
+    # sampling leaves their 27-cell window under-filled
+    side = r.integers(0, 3, n_q)
+    qx = r.uniform(1.0, 59.0, n_q)
+    qs = np.zeros((n_q, 3))
+    qs[:, 0] = qx
+    qs[side == 0] += np.stack(
+        [np.zeros((side == 0).sum()), -3.0 + r.uniform(0, 1.0, (side == 0).sum()),
+         r.uniform(0.5, 4.5, (side == 0).sum())], -1)
+    qs[side == 1] += np.stack(
+        [np.zeros((side == 1).sum()), 3.0 - r.uniform(0, 1.0, (side == 1).sum()),
+         r.uniform(0.5, 4.5, (side == 1).sum())], -1)
+    qs[side == 2] += np.stack(
+        [np.zeros((side == 2).sum()), r.uniform(-2.5, 2.5, (side == 2).sum()),
+         5.0 - r.uniform(0, 1.0, (side == 2).sum())], -1)
+    return stored, qs
+
+
+def test_knn_wide_reference_acceptance_recall_tunnel():
+    """Acceptance-recall vs the exact reference rule on the sparse tunnel:
+    radius-1 alone drops many reference-accepted correspondences (the
+    round-2 unmeasured divergence); the escalating wide search recovers
+    >= 99% of them AND returns the exact neighbor sets."""
+    stored, qs = _tunnel_map_and_queries()
+    m = make_map(cap=1 << 13, voxel=0.5)
+    m = vh.insert(
+        m, jnp.asarray(stored), jnp.full((len(stored),), 0.1),
+        jnp.ones(len(stored), bool),
+    )
+    # reference decisions are taken over what the map actually stores
+    # (rare probe-window drops re-offer next scan in production)
+    live = np.asarray(m.points[np.asarray(m.occupied)])
+    assert int(m.n_dropped) <= 2
+
+    ref_ok = np.zeros(len(qs), bool)
+    ref_sets = [None] * len(qs)
+    for i, q in enumerate(qs):
+        ref_ok[i], ref_sets[i] = _ref_accept(live, q)
+    assert ref_ok.sum() >= len(qs) * 0.8  # the scene is match-rich
+
+    def accepted(nn_d2, nn_cnt):
+        return (np.asarray(nn_cnt) >= 5) & (np.asarray(nn_d2)[:, 4] <= 5.0)
+
+    # base window only: the documented divergence, now measured
+    _, _, d2_1, cnt_1 = vh.knn(m, jnp.asarray(qs), k=5, radius=1)
+    acc_1 = accepted(d2_1, cnt_1)
+    recall_1 = (acc_1 & ref_ok).sum() / ref_ok.sum()
+    assert recall_1 < 0.9, recall_1  # the gap is real in this regime
+
+    # escalating search: reference-reach
+    nn_pts, _, d2_w, cnt_w = vh.knn(
+        m, jnp.asarray(qs), k=5, radius=1, wide_radius=5,
+        wide_budget=len(qs), accept_d2=5.0,
+    )
+    acc_w = accepted(d2_w, cnt_w)
+    recall_w = (acc_w & ref_ok).sum() / ref_ok.sum()
+    assert recall_w >= 0.99, (recall_1, recall_w)
+    # no spurious acceptances either (the wide window is exact within the
+    # acceptance ball)
+    assert not (acc_w & ~ref_ok).any()
+    # escalated + accepted queries carry the EXACT reference neighbor set
+    nn_pts = np.asarray(nn_pts)
+    for i in np.nonzero(acc_w & ~acc_1)[0]:
+        got = np.sort(nn_pts[i], axis=0)
+        want = np.sort(ref_sets[i], axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_knn_wide_budget_overflow_graceful():
+    """More escalations than budget: over-budget queries keep the base
+    window result (no crash, no garbage); under-budget ones upgrade."""
+    stored, qs = _tunnel_map_and_queries(n_q=64, seed=7)
+    m = make_map(cap=1 << 12, voxel=0.5)
+    m = vh.insert(
+        m, jnp.asarray(stored), jnp.full((len(stored),), 0.1),
+        jnp.ones(len(stored), bool),
+    )
+    _, _, d2_1, cnt_1 = vh.knn(m, jnp.asarray(qs), k=5, radius=1)
+    _, _, d2_b, cnt_b = vh.knn(
+        m, jnp.asarray(qs), k=5, radius=1, wide_radius=5, wide_budget=4
+    )
+    _, _, d2_f, cnt_f = vh.knn(
+        m, jnp.asarray(qs), k=5, radius=1, wide_radius=5, wide_budget=64
+    )
+    need = ~((np.asarray(cnt_1) >= 5) & (np.asarray(d2_1)[:, 4] <= 5.0))
+    esc = np.nonzero(need)[0]
+    assert len(esc) > 4
+    upgraded, kept = esc[:4], esc[4:]
+    np.testing.assert_allclose(
+        np.asarray(d2_b)[upgraded], np.asarray(d2_f)[upgraded], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2_b)[kept], np.asarray(d2_1)[kept], atol=1e-12
+    )
+    # untouched rows identical to the base pass
+    np.testing.assert_allclose(
+        np.asarray(d2_b)[~need], np.asarray(d2_1)[~need], atol=1e-12
+    )
+
+
+def test_knn_wide_qmask_excludes_padded_lanes():
+    """Masked (padded) queries must not consume escalation budget."""
+    stored, qs = _tunnel_map_and_queries(n_q=32, seed=9)
+    m = make_map(cap=1 << 12, voxel=0.5)
+    m = vh.insert(
+        m, jnp.asarray(stored), jnp.full((len(stored),), 0.1),
+        jnp.ones(len(stored), bool),
+    )
+    # pad with garbage lanes at (0,0,0)-ish that would all escalate
+    qpad = np.concatenate([np.zeros((32, 3)), qs])
+    qmask = np.concatenate([np.zeros(32, bool), np.ones(32, bool)])
+    _, _, d2_m, cnt_m = vh.knn(
+        m, jnp.asarray(qpad), k=5, radius=1, wide_radius=5, wide_budget=32,
+        qmask=jnp.asarray(qmask),
+    )
+    _, _, d2_ref, cnt_ref = vh.knn(
+        m, jnp.asarray(qs), k=5, radius=1, wide_radius=5, wide_budget=32
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2_m)[32:], np.asarray(d2_ref), atol=1e-12
+    )
+    assert np.array_equal(np.asarray(cnt_m)[32:], np.asarray(cnt_ref))
+
+
+def test_fingerprint_window_collision_free():
+    """The fingerprint must be injective over any search-window-sized key
+    neighborhood. The additive pre-mix is linear (constant difference per
+    key delta) and the murmur3 finalizer is bijective, so it suffices to
+    check the pre-mix delta is nonzero for every |delta|inf <= 12 —
+    covering base (1) and wide (<= 5 + slack) windows. The round-2
+    XOR-of-products scheme fails exactly this (structural collisions,
+    e.g. (2, y, 2) vs (-2, y, -2) for every y)."""
+    r = np.arange(-12, 13, dtype=np.int64)
+    dx, dy, dz = np.meshgrid(r, r, r, indexing="ij")
+    F1, F2, F3 = 1540483477, 1274126177, 868864169
+    pre = (dx * F1 + dy * F2 + dz * F3) % (1 << 32)
+    pre[12, 12, 12] = 1  # the zero delta is the key itself
+    assert (pre != 0).all()
+    # and the finalizer is a bijection: spot-verify by inverting sizes
+    u = np.arange(0, 1 << 16, dtype=np.uint64)  # 16-bit prefix sample
+    def mix(v):
+        v = v & 0xFFFFFFFF
+        v ^= v >> 16
+        v = (v * 0x85EBCA6B) & 0xFFFFFFFF
+        v ^= v >> 13
+        v = (v * 0xC2B2AE35) & 0xFFFFFFFF
+        v ^= v >> 16
+        return v
+    assert len(np.unique(mix(u))) == len(u)
