@@ -65,12 +65,21 @@ def h_share_model(
     pose_unc,
     cfg,
     converge=True,
+    search_fn=None,
 ):
     """One call of h_share_model. ``s`` is a RefState; pts_body (N,3) are
     deskewed own-LiDAR-frame points, pt_lid the sorted lid_idx (0 = base),
     pt_epoch the per-point epoch (normal_x). nearest_* provide the k-NN
     result for this round (converge path). point_selected_surf (N,) bool is
     carried across iterations and MUTATED like the reference's global.
+
+    With ``search_fn`` (the chained-oracle mode), the k-NN is performed
+    HERE like the reference's ikdtree.Nearest_Search call
+    (laserMapping.cpp:585): search_fn(p_global) -> (records (n,4)
+    [x,y,z,normal_y], d2 (n,)), and the caller-provided nearest_* LISTS
+    are mutated in place — they play the role of the reference's
+    Nearest_Points global (persist across IEKF iterations; consumed by
+    map_incremental afterwards).
 
     Returns dict(valid, h_x (E, 6(1+L)), h (E,), R (E,), eff_idx,
     point_selected_surf, normal_y (N,)) where E = effct_feat_num.
@@ -99,6 +108,12 @@ def h_share_model(
         p_global = _qrot(s.rot, _qrot(ext_q[0], p_body) + ext_t[0]) + s.pos
 
         if converge:
+            if search_fn is not None:
+                recs, d2 = search_fn(p_global)
+                nearest_points[i] = recs[:, :3]
+                nearest_covs[i] = recs[:, 3]
+                nearest_d2[i] = d2
+                nearest_cnt[i] = len(recs)
             point_selected_surf[i] = not (
                 nearest_cnt[i] < NUM_MATCH_POINTS
                 or nearest_d2[i][NUM_MATCH_POINTS - 1] > 5

@@ -1,0 +1,504 @@
+"""Chained end-to-end reference oracle: the FULL fusion loop
+(undistort -> voxel downsample -> exact-NN correspondence -> IEKF update
+-> map_incremental insert), NumPy-transliterated stage by stage, driven
+round after round against the JAX pipeline on the same physically
+consistent synthetic sequence — converting the round-2 per-stage parity
+into a system-level trajectory bound (VERDICT round 2, item 1).
+
+Reference chain matched (paths relative /root/reference/MA_LIO):
+  IMU_Processing.hpp:210-523 (UndistortPcl)      -> tests/oracle/ref_undistort
+  laserMapping.cpp:968-983  (pcl VoxelGrid)      -> tests/oracle/ref_map.voxel_grid
+  laserMapping.cpp:1027-1048 (pose_unc compose)  -> inline below
+  laserMapping.cpp:552-760  (h_share_model)      -> tests/oracle/ref_h_share
+  ikd_Tree.cpp:1073-1255    (exact Nearest_Search)-> tests/oracle/ref_map.RefMap
+  esekfom.hpp:495-721       (IEKF loop)          -> tests/oracle/ref_esekf
+  laserMapping.cpp:398-446  (map_incremental)    -> tests/oracle/ref_map
+  ikd_Tree.cpp:484-584      (Add_Points policy)  -> tests/oracle/ref_map
+
+Known, documented divergences that the measured bound absorbs:
+  * k-NN reach: the oracle searches globally (exact); malio uses the
+    27-cell window + wide-radius escalation (voxel_hash.knn). Escalation
+    makes acceptance match; accepted-in-pass-1 neighbor SETS may differ
+    at the margin.
+  * per-voxel insert ties: the reference resolves same-voxel candidates
+    sequentially in cloud order; malio by lowest-cov/candidate-id
+    scatter.
+  * downsampled epoch index: the reference truncates the voxel-centroid
+    epoch (int(normal_x)); malio rounds.
+  * PointNoNeedDownsample bypass adds raw points (can duplicate a
+    voxel); malio's map is strictly one-point-per-voxel.
+"""
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import jax.numpy as jnp
+
+from malio_tpu import pipeline, runner
+from malio_tpu import propagate as prop
+from malio_tpu import state as st
+from malio_tpu.config import Config
+from malio_tpu.io.synthetic import SyntheticSequence
+from malio_tpu.eval import ate
+
+from oracle.ref_esekf import RefEsekf, RefState, S2_LENGTH
+from oracle.ref_undistort import RefImuProcess
+from oracle.ref_h_share import h_share_model
+from oracle import ref_map
+from test_oracle_parity import _perm_cov, _quat_close, _OracleCfg
+
+L = 3
+NPTS = 128  # raw points per LiDAR per scan
+G0 = 10  # first compared round (past the speed-ramp start; IMU history exists)
+N_ROUNDS = 40
+
+
+def _cfg():
+    return Config(
+        num_lidars=L,
+        lid_type=(3,) * L,
+        n_scans=(32,) * L,
+        point_filter_num=(1,) * L,
+        extrinsic_T=(0.2, 0.0, 0.0, -0.3, 0.3, 0.1, -0.3, -0.3, 0.1),
+        extrinsic_R=(
+            1.0, 0.0, 0.0, 0.0,
+            0.9987503, 0.0, 0.0, 0.0499792,   # yaw 0.1 rad
+            0.9987503, 0.0, 0.0499792, 0.0,   # pitch 0.1 rad
+        ),
+        max_raw_points=NPTS,
+        max_points_per_scan=NPTS,
+        max_imu_per_group=32,
+        imu_cont_len=16,
+        traj_capacity=96,
+        spline_capacity=96,
+        epoch_capacity=32,
+        map_capacity=1 << 14,
+        filter_size_surf=0.5,
+        filter_size_map=0.5,
+        cube_len=4000.0,  # the local-map box never slides in this test
+        det_range=100.0,
+        plane_th=0.1,
+        # synthetic P0 (pose var 1.0) inflates the x10000 uncertainty
+        # traces; the City value 0.5 would block every insert here and
+        # freeze the map (measured: map constant at 330 cells, n_eff
+        # decaying 200 -> 45 over 40 rounds). 30 lets map_incremental
+        # actually run — the policy under test.
+        cov_threshold=30.0,
+        knn_wide_radius=5,   # reference-reach escalation ON
+        knn_wide_budget=L * NPTS,
+        max_iteration=3,
+        init_time=0.1,
+    )
+
+
+def _scenario(cfg, duration=6.5, seed=3):
+    ext_t = np.asarray(cfg.extrinsic_T, float).reshape(L, 3)
+    ext_q = np.asarray(cfg.extrinsic_R, float).reshape(L, 4)
+    ext_q = ext_q / np.linalg.norm(ext_q, axis=-1, keepdims=True)
+    seq = SyntheticSequence(
+        duration=duration,
+        num_lidars=L,
+        points_per_scan=NPTS,
+        ext_t=ext_t,
+        ext_q_wxyz=ext_q,
+        noise=0.008,
+        seed=seed,
+    )
+    return seq.generate()
+
+
+def _true_state(cfg, traj, t):
+    """Matched (malio State f64, oracle RefState) = ground truth at t."""
+    ext_t = np.asarray(cfg.extrinsic_T, float).reshape(L, 3)
+    ext_q = np.asarray(cfg.extrinsic_R, float).reshape(L, 4)
+    ext_q = ext_q / np.linalg.norm(ext_q, axis=-1, keepdims=True)
+    yaw = float(SyntheticSequence.rot_angles(traj, np.asarray([t]))[0])
+    rot = np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+    pos = np.asarray(traj.pos(t), float)
+    vel = np.asarray(traj.vel(t), float)
+    grav = np.array([0.0, 0.0, -S2_LENGTH])
+
+    x = st.State(
+        pos=jnp.asarray(pos, jnp.float64),
+        rot=jnp.asarray(rot),
+        ext_r=jnp.asarray(ext_q),
+        ext_t=jnp.asarray(ext_t),
+        vel=jnp.asarray(vel),
+        bg=jnp.zeros(3, jnp.float64),
+        ba=jnp.zeros(3, jnp.float64),
+        grav=jnp.asarray(grav),
+    )
+    r = RefState(L)
+    r.pos = pos.copy()
+    r.rot = rot.copy()
+    r.ext_r = [ext_q[L - 1 - num].copy() for num in range(L)]
+    r.ext_t = [ext_t[L - 1 - num].copy() for num in range(L)]
+    r.vel = vel.copy()
+    r.bg = np.zeros(3)
+    r.ba = np.zeros(3)
+    r.grav = grav.copy()
+    return x, r
+
+
+def _shared_init(cfg, imu, rounds, traj):
+    """Seed data shared by both drivers: initial states, P0, Q, the IMU
+    cursor just before round G0, and a synthetic previous-scan-end."""
+    imu_t = imu[:, 0]
+    begs0 = np.array([rounds[G0][l]["beg_t"] for l in range(L)])
+    base0 = float(begs0.min())
+    k0 = int(np.searchsorted(imu_t, base0 - 0.05))
+    last_end0 = float(imu_t[k0]) + 0.004
+    x0, r0 = _true_state(cfg, traj, last_end0)
+
+    n = st.dof(L)
+    P0 = np.asarray(runner.initial_covariance(cfg, jnp.float64))
+    Q = np.diag(
+        np.concatenate(
+            [np.full(3, 1e-4), np.full(3, 1e-3), np.full(3, 1e-6), np.full(3, 1e-5)]
+        )
+    )
+    return dict(
+        imu_t=imu_t, base0=base0, k0=k0, last_end0=last_end0,
+        x0=x0, r0=r0, P0=P0, Q=Q, mean_acc_norm=9.81, n=n,
+    )
+
+
+# =====================================================================
+# oracle driver: the transliterated main-loop body (laserMapping.cpp
+# :941-1078) over rounds G0..G0+N_ROUNDS
+# =====================================================================
+
+
+def _run_oracle(cfg, imu, rounds, init):
+    from oracle.ref_uncertainty import (
+        compound_pose_with_cov,
+        compound_inv_pose_with_cov,
+    )
+
+    imu_t = init["imu_t"]
+    kf = RefEsekf(L)
+    kf.x_ = init["r0"].copy()
+    kf.P_ = _perm_cov(init["P0"], L)
+    imup = RefImuProcess(L, init["Q"], init["mean_acc_norm"])
+    imup.last_imu_ = imu[init["k0"]].copy()
+    imup.last_lidar_end_time_ = init["last_end0"]
+    imup.last_in = np.zeros(6)
+
+    m = ref_map.RefMap(cfg.filter_size_map)
+    ocfg = _OracleCfg(cfg)
+    first_lidar_time = None
+    cursor = init["k0"] + 1
+    out = []
+
+    for g in range(G0, G0 + N_ROUNDS):
+        rnd = rounds[g]
+        ends = np.array([rnd[l]["end_t"] for l in range(L)])
+        begs = np.array([rnd[l]["beg_t"] for l in range(L)])
+        hi = int(np.searchsorted(imu_t, ends.max(), side="right"))
+        meas_imu = imu[cursor:hi]
+        cont = np.concatenate([imu[hi - 1 : hi], imu[hi : hi + cfg.imu_cont_len - 1]])
+        cursor = hi
+
+        meas = dict(
+            lidar_multi=[rnd[l]["pts"].copy() for l in range(L)],  # ascending end
+            lidar_beg_time=[begs[l] for l in range(L)],
+            lidar_end_time=[ends[l] for l in range(L)],
+            imu=[r.copy() for r in meas_imu],
+            imu_cont=[r.copy() for r in cont],
+        )
+        for l in range(L):
+            meas["lidar_multi"][l][:, 3] = (
+                meas["lidar_multi"][l][:, 3] - begs[l]
+            ) * 1000.0
+
+        if first_lidar_time is None:
+            first_lidar_time = meas["lidar_beg_time"][0]
+        ref = imup.undistort(meas, kf)
+        # reference quirk transliterated: the deskew loop never reaches
+        # each cloud's earliest point (IMU_Processing.hpp:476 `it_pcl !=
+        # begin()`), so its intensity keeps the DECODED reflectivity —
+        # a large value that h_share later clamps to the last epoch
+        # (laserMapping.cpp:694-696). Stand in a typical reflectivity.
+        for num in range(L):
+            ref["epoch_idx"][num] = ref["epoch_idx"][num].copy()
+            ref["epoch_idx"][num][0] = 100
+
+        # ---- per-LiDAR VoxelGrid downsample (laserMapping.cpp:968-983) ----
+        pts_body, pt_lid, pt_epoch = [], [], []
+        for num in range(L):
+            arr = np.concatenate(
+                [ref["feats"][num][:, :3], ref["epoch_idx"][num][:, None].astype(float)],
+                axis=1,
+            )
+            ds = ref_map.voxel_grid(arr, cfg.filter_size_surf)
+            pts_body.append(ds[:, :3])
+            pt_epoch.append(ds[:, 3])  # normal_x <- centroid intensity
+            pt_lid.append(np.full(len(ds), num, int))  # intensity <- num
+        pts_body = np.concatenate(pts_body)
+        pt_lid = np.concatenate(pt_lid)
+        pt_epoch = np.concatenate(pt_epoch)
+        N = len(pts_body)
+
+        flg_EKF_inited = (
+            meas["lidar_beg_time"][0] - first_lidar_time
+        ) >= cfg.init_time
+
+        # ---- first round: Build (laserMapping.cpp:995-1010) ----
+        if m.size() == 0:
+            if N > 5:
+                world = np.stack(
+                    [
+                        ref_map.point_body_to_world(
+                            kf.x_, pts_body[i], int(pt_lid[i]), ref["temporal_comp"]
+                        )
+                        for i in range(N)
+                    ]
+                )
+                m.build(np.concatenate([world, np.full((N, 1), 0.001)], axis=1))
+            out.append(_snap(kf, 0, m.size()))
+            continue
+
+        # ---- pose_unc composition (laserMapping.cpp:1027-1048) ----
+        pose_unc = []
+        for num in range(L):
+            chain = ref["lidar_uncertainty"][num]
+            if num == 0:
+                pose_unc.append([chain[i] for i in range(len(chain) - 1)])
+            else:
+                lst = []
+                for i in range(len(chain) - 1):
+                    p = compound_pose_with_cov(ref["extrinsic"][num], chain[i], 2)
+                    p = compound_pose_with_cov(ref["temporal_comp"][num - 1], p, 2)
+                    p = compound_inv_pose_with_cov(ref["extrinsic"][0], p, 2)
+                    lst.append(p)
+                pose_unc.append(lst)
+
+        # ---- IEKF update with exact-NN search (Nearest_Points globals) ----
+        nearest_pts = [np.zeros((0, 3)) for _ in range(N)]
+        nearest_covs = [np.zeros(0) for _ in range(N)]
+        nearest_d2 = [np.zeros(0) for _ in range(N)]
+        nearest_cnt = np.zeros(N, int)
+        selected = np.zeros(N, bool)
+        last = {}
+
+        def h_dyn(s, converge):
+            r = h_share_model(
+                s, pts_body, pt_lid, pt_epoch,
+                nearest_pts, nearest_covs, nearest_d2, nearest_cnt, selected,
+                ref["temporal_comp"], pose_unc, ocfg,
+                converge=converge, search_fn=m.nearest_search,
+            )
+            last.update(r)
+            return r
+
+        iters = kf.update_iterated_dyn_share_modified(
+            h_dyn, cfg.max_iteration, limit=cfg.converge_limit
+        )
+
+        # ---- map_incremental with the posterior state ----
+        world = np.stack(
+            [
+                ref_map.point_body_to_world(
+                    kf.x_, pts_body[i], int(pt_lid[i]), ref["temporal_comp"]
+                )
+                for i in range(N)
+            ]
+        )
+        world_recs = np.concatenate([world, last["normal_y"][:, None]], axis=1)
+        ref_map.map_incremental(
+            m, world_recs, nearest_pts, flg_EKF_inited,
+            cfg.cov_threshold, cfg.filter_size_map,
+        )
+        out.append(_snap(kf, len(last.get("eff_idx", [])), m.size()))
+    return out
+
+
+def _snap(kf, n_eff, map_size):
+    return dict(
+        pos=kf.x_.pos.copy(), rot=kf.x_.rot.copy(), vel=kf.x_.vel.copy(),
+        ext_r=[q.copy() for q in kf.x_.ext_r], ext_t=[t.copy() for t in kf.x_.ext_t],
+        P=kf.P_.copy(), n_eff=n_eff, map_size=map_size,
+    )
+
+
+# =====================================================================
+# malio driver: pipeline.step over the same rounds
+# =====================================================================
+
+
+def _run_malio(cfg, imu, rounds, init, **cfg_overrides):
+    if cfg_overrides:
+        cfg = Config(**{**cfg.__dict__, **cfg_overrides})
+    imu_t = init["imu_t"]
+    carry = pipeline.init_carry(
+        cfg, init["x0"], jnp.asarray(init["P0"]), jnp.asarray(init["Q"]), jnp.float64
+    )
+    base0 = init["base0"]
+    last_imu_rel = imu[init["k0"]].copy()
+    last_imu_rel[0] -= base0
+    carry = carry._replace(
+        last_imu=jnp.asarray(last_imu_rel),
+        last_end_t=jnp.asarray(init["last_end0"] - base0, jnp.float64),
+        mean_acc_norm=jnp.asarray(init["mean_acc_norm"], jnp.float64),
+    )
+    cursor = init["k0"] + 1
+    prev_base = base0
+    out = []
+    for g in range(G0, G0 + N_ROUNDS):
+        rnd = rounds[g]
+        ends = np.array([rnd[l]["end_t"] for l in range(L)])
+        begs = np.array([rnd[l]["beg_t"] for l in range(L)])
+        hi = int(np.searchsorted(imu_t, ends.max(), side="right"))
+        meas_imu = imu[cursor:hi]
+        cont = np.concatenate([imu[hi - 1 : hi], imu[hi : hi + cfg.imu_cont_len - 1]])
+        cursor = hi
+
+        base = float(begs.min())
+        I = cfg.max_imu_per_group
+        imu_pad = np.zeros((I, 7))
+        imu_mask = np.zeros(I, bool)
+        imu_pad[: len(meas_imu)] = meas_imu
+        imu_pad[: len(meas_imu), 0] -= base
+        imu_mask[: len(meas_imu)] = True
+        IC = cfg.imu_cont_len
+        cont_pad = np.zeros((IC, 7))
+        cont_mask = np.zeros(IC, bool)
+        cont_pad[: len(cont)] = cont
+        cont_pad[: len(cont), 0] -= base
+        cont_mask[: len(cont)] = True
+        pts = np.stack([rnd[l]["pts"] for l in range(L)]).copy()
+        pts[..., 3] -= base
+        group = prop.MeasureGroup(
+            pts=jnp.asarray(pts),
+            pts_mask=jnp.ones((L, NPTS), bool),
+            beg_t=jnp.asarray(begs - base),
+            end_t=jnp.asarray(ends - base),
+            imu=jnp.asarray(imu_pad),
+            imu_mask=jnp.asarray(imu_mask),
+            imu_cont=jnp.asarray(cont_pad),
+            imu_cont_mask=jnp.asarray(cont_mask),
+            t_shift=jnp.asarray(base - prev_base),
+        )
+        carry, step_out = pipeline.step(cfg, carry, group)
+        prev_base = base
+        out.append(
+            dict(
+                pos=np.asarray(step_out.pos), rot=np.asarray(step_out.quat),
+                vel=np.asarray(carry.x.vel),
+                ext_r=np.asarray(carry.x.ext_r), ext_t=np.asarray(carry.x.ext_t),
+                P=np.asarray(carry.P),
+                n_eff=int(step_out.n_effective),
+                map_size=int(step_out.map_size),
+                t_abs=float(step_out.end_time) + base,
+            )
+        )
+    return out
+
+
+# =====================================================================
+# the test
+# =====================================================================
+
+
+@pytest.mark.slow
+def test_chained_pipeline_matches_reference_oracle():
+    cfg = _cfg()
+    imu, rounds, traj = _scenario(cfg)
+    init = _shared_init(cfg, imu, rounds, traj)
+
+    oracle = _run_oracle(cfg, imu, rounds, init)
+    malio = _run_malio(cfg, imu, rounds, init)
+    assert len(oracle) == len(malio) == N_ROUNDS
+
+    pos_d = np.array([np.linalg.norm(a["pos"] - b["pos"]) for a, b in zip(malio, oracle)])
+    rot_d = np.array(
+        [
+            ate.quat_angle(ate._quat_mul(ate._quat_conj(b["rot"]), a["rot"]))
+            for a, b in zip(malio, oracle)
+        ]
+    )
+    vel_d = np.array([np.linalg.norm(a["vel"] - b["vel"]) for a, b in zip(malio, oracle)])
+
+    # system-level trajectory bound: the two implementations track each
+    # other far inside the estimator's own error against ground truth
+    ts = np.array([m["t_abs"] for m in malio])
+    gt = traj.pos(ts)
+    est = np.stack([m["pos"] for m in malio])
+    oest = np.stack([o["pos"] for o in oracle])
+    ate_malio = ate.ate_rmse(est, gt, align=False)
+    ate_oracle = ate.ate_rmse(oest, gt, align=False)
+    cross = ate.ate_rmse(est, oest, align=False)
+
+    # calibrated bounds ~2x the measured envelope (measured: pos_d max
+    # 0.046 / final 0.024; cross-ATE 0.0185 vs own raw ATE 0.163/0.169 —
+    # the implementations track each other ~9x tighter than either
+    # tracks ground truth)
+    assert np.isfinite(pos_d).all() and np.isfinite(rot_d).all()
+    assert pos_d.max() < 0.10, (pos_d.max(), ate_malio, ate_oracle)
+    assert rot_d.max() < np.radians(1.0), np.degrees(rot_d.max())
+    assert vel_d.max() < 0.10, vel_d.max()
+    # both track ground truth; their mutual gap is far below their error
+    assert ate_malio < 0.30, ate_malio
+    assert ate_oracle < 0.30, ate_oracle
+    assert cross < 0.35 * max(ate_malio, ate_oracle) + 0.005, (
+        cross, ate_malio, ate_oracle)
+
+    # effective-correspondence counts stay comparable (association parity)
+    ne_m = np.array([m["n_eff"] for m in malio][1:])
+    ne_o = np.array([o["n_eff"] for o in oracle][1:])
+    assert (np.abs(ne_m - ne_o) <= np.maximum(15, 0.10 * ne_o)).mean() >= 0.9, (
+        ne_m.tolist(), ne_o.tolist())
+
+    # map sizes stay comparable (insert-policy parity; exact-tie and
+    # NoNeedDownsample divergences are documented)
+    ms_m = np.array([m["map_size"] for m in malio])
+    ms_o = np.array([o["map_size"] for o in oracle])
+    assert (np.abs(ms_m - ms_o) <= 0.08 * ms_o + 20).all(), (
+        ms_m.tolist(), ms_o.tolist())
+
+    # posterior covariance stays close (same tangent layout after perm)
+    P_m = _perm_cov(malio[-1]["P"], L)
+    dP = np.abs(P_m - oracle[-1]["P"]).max()
+    scale = np.abs(oracle[-1]["P"]).max()
+    assert dP <= 0.15 * scale + 1e-8, (dP, scale)
+
+
+@pytest.mark.slow
+def test_chained_oracle_quantifies_knn_narrowing_and_single_search():
+    """A/B on the same scenario: (a) wide escalation OFF (27-cell only)
+    and (b) single_search=True must both stay finite and within a looser
+    trajectory bound — quantifying the two speed/reach knobs against the
+    exact-NN oracle (VERDICT round 2, items 2 and 8)."""
+    cfg = _cfg()
+    imu, rounds, traj = _scenario(cfg)
+    init = _shared_init(cfg, imu, rounds, traj)
+    oracle = _run_oracle(cfg, imu, rounds, init)
+    oest = np.stack([o["pos"] for o in oracle])
+
+    narrow = _run_malio(cfg, imu, rounds, init, knn_wide_radius=0, knn_wide_budget=0)
+    single = _run_malio(cfg, imu, rounds, init, single_search=True)
+
+    # measured (recorded in benchmarks/RESULTS.md): the DEFAULT config
+    # tracks the exact-NN oracle at cross-ATE 0.0185; turning either
+    # speed/reach knob costs an order of magnitude of that parity —
+    # narrow 27-cell k-NN: 0.175, single_search: 0.133 (both still
+    # bounded and finite, comparable to the estimator's own gt error
+    # ~0.16). Round 2's "single_search is ATE-neutral" claim does NOT
+    # generalize: skipping the post-convergence re-search changes the
+    # association stream materially on map-building workloads.
+    results = {}
+    for tag, run, tol in (("narrow", narrow, 0.30), ("single_search", single, 0.30)):
+        est = np.stack([m["pos"] for m in run])
+        assert np.isfinite(est).all(), tag
+        cross = ate.ate_rmse(est, oest, align=False)
+        ts = np.array([m["t_abs"] for m in run])
+        err = ate.ate_rmse(est, traj.pos(ts), align=False)
+        results[tag] = (cross, err)
+        assert cross < tol, (tag, cross)
+        assert err < 0.35, (tag, err)
+    # attribution: both knobs diverge >= 5x the default's 0.0185 parity
+    assert results["narrow"][0] > 0.08, results
