@@ -169,10 +169,14 @@ def run_sequence(
     dtype=jnp.float32,
     callback=None,
     smoother=None,
+    posegraph=None,
     prefetch_chunk: int = 16,
 ):
     """Replay measure groups through the pipeline. Returns a dict with the
-    trajectory (t, pos, quat) and per-round diagnostics."""
+    trajectory (t, pos, quat) and per-round diagnostics. `smoother` and
+    `posegraph` are optional observers (WindowSmoother /
+    PoseGraphBackend): observe(out, t_base) per round, trajectory() at
+    the end (result keys "smoothed" / "graph")."""
     groups = list(groups)
     init = ImuInitializer()
     carry = None
@@ -211,6 +215,7 @@ def run_sequence(
             iterations=np.zeros(0, int), n_effective=np.zeros(0, int),
             map_size=np.zeros(0, int), carry=None,
             smoothed=smoother.trajectory() if smoother is not None else None,
+            graph=posegraph.trajectory() if posegraph is not None else None,
         )
 
     # --- fusion phase: chunked device transfers + async dispatch ---
@@ -233,7 +238,7 @@ def run_sequence(
     prev_base = base0
     # per-round hooks force per-round dispatch; otherwise a whole chunk is
     # one lax.scan dispatch (one host<->device round-trip per K rounds)
-    use_scan = callback is None and smoother is None
+    use_scan = callback is None and smoother is None and posegraph is None
     for c0 in range(start, len(groups), prefetch_chunk):
         chunk = groups[c0 : c0 + prefetch_chunk]
         gdev, bases = _stack_chunk(chunk, np_dtype, prev_base)
@@ -255,6 +260,8 @@ def run_sequence(
             chunk_outs.append((out, float(bases[k])))
             if smoother is not None:
                 smoother.observe(out, t_base=float(bases[k]))
+            if posegraph is not None:
+                posegraph.observe(out, t_base=float(bases[k]))
             if callback is not None:
                 # out.end_time is group-relative (f32-safe on device);
                 # bases[k] restores the absolute f64 timeline
@@ -276,4 +283,5 @@ def run_sequence(
         map_size=np.asarray([int(o["map_size"]) for o in outs]),
         carry=carry,
         smoothed=smoother.trajectory() if smoother is not None else None,
+        graph=posegraph.trajectory() if posegraph is not None else None,
     )

@@ -125,6 +125,12 @@ def main():
         "and write <out>.smoothed",
     )
     ap.add_argument(
+        "--posegraph",
+        action="store_true",
+        help="run the keyframe pose-graph back-end (loop closure + global "
+        "relaxation) alongside the filter and write <out>.graph",
+    )
+    ap.add_argument(
         "--save-cloud-every",
         type=int,
         default=0,
@@ -239,6 +245,11 @@ def main():
         from malio_tpu.smoother import WindowSmoother
 
         smoother = WindowSmoother(dtype=dtype)
+    graph = None
+    if args.posegraph:
+        from malio_tpu.posegraph import PoseGraphBackend
+
+        graph = PoseGraphBackend(dtype=dtype)
     if args.online:
         res, lat = _run_online(cfg, imu, rounds, dtype)
         dt = time.time() - t0
@@ -250,9 +261,11 @@ def main():
                 f"p90 {np.percentile(lat, 90):.1f} p99 {np.percentile(lat, 99):.1f}"
             )
         res["smoothed"] = None
+        res["graph"] = None
     else:
         res = runner.run_sequence(
-            cfg, groups, dtype=dtype, callback=cb, smoother=smoother
+            cfg, groups, dtype=dtype, callback=cb, smoother=smoother,
+            posegraph=graph,
         )
         dt = time.time() - t0
         n = len(res["t"])
@@ -273,6 +286,14 @@ def main():
         if len(ts):
             ate.write_tum(args.out + ".smoothed", ts, ps, qs)
             print(f"smoothed keyframe trajectory written to {args.out}.smoothed")
+    if graph is not None and res.get("graph") is not None:
+        ts, ps, qs = res["graph"]
+        if len(ts):
+            ate.write_tum(args.out + ".graph", ts, ps, qs)
+            print(
+                f"pose-graph trajectory ({graph.n_loop_edges} loop edges) "
+                f"written to {args.out}.graph"
+            )
 
     gt_file = pathlib.Path(args.root) / "Groundtruth.txt"
     if gt_file.exists():
