@@ -2,7 +2,21 @@
 sequences fused in lockstep through a vmapped step. On one chip this fills
 occupancy a single sequence leaves idle (the per-round graph is small);
 on a mesh the batch axis shards over dp. Used by scripts/run_batched.py
-and bench.py."""
+and bench.py.
+
+Two benchmark entry points:
+
+  * ``synthetic_batched_benchmark`` — the light round-1/2 configuration
+    (1 LiDAR, 2048 pts, 1<<17-slot map), kept for cross-round
+    comparability with BENCH_r01/r02.
+  * ``flagship_benchmark`` — the City config-3 working point (VERDICT
+    round-2 item 3): 3 LiDARs with the City rig extrinsics
+    (config/City.yaml:24-39), ~12k downsampled points per fusion round,
+    a 1<<21-slot map, City weighting laws and reference-reach k-NN
+    (launch/mapping_city.launch:9-15). Reports the MEDIAN across timed
+    passes as the honest steady-state number and the best as an upper
+    bound on relay jitter.
+"""
 from __future__ import annotations
 
 import time
@@ -10,28 +24,11 @@ import time
 import numpy as np
 
 
-def synthetic_batched_benchmark(
-    batch=16, duration=6.0, points=2048, dtype=None, chunk=16, warmup=8,
-    single_search=False,
-):
-    """Run B synthetic sequences through the vmapped step; returns a dict
-    with aggregate scans/s and per-sequence aligned ATE."""
-    import jax
-    import jax.numpy as jnp
-
+def _light_config(points, single_search):
     from malio_tpu.config import Config
-    from malio_tpu.io.synthetic import SyntheticSequence
-    from malio_tpu.io.assemble import assemble_groups
-    from malio_tpu import runner, pipeline
-    from malio_tpu.runner import _stack_chunk, group_base
-    from malio_tpu.eval import ate
 
-    if dtype is None:
-        dtype = jnp.float32
-    B = batch
-    L = 1
-    cfg = Config(
-        num_lidars=L,
+    return Config(
+        num_lidars=1,
         lid_type=(3,),
         n_scans=(64,),
         point_filter_num=(1,),
@@ -53,62 +50,92 @@ def synthetic_batched_benchmark(
         single_search=single_search,
     )
 
+
+def _flagship_config(points_per_lidar, map_slots, single_search):
+    """City config-3 shape with benchmark-sized rolling capacities.
+
+    The estimator parameters (weighting laws, iteration budget, filter
+    sizes, det_range, wide-reach k-NN) are the City launch values via
+    city_config(); only the static array capacities are set to the
+    benchmark working point."""
+    from malio_tpu.config import city_config
+
+    return city_config(
+        max_raw_points=points_per_lidar,
+        max_points_per_scan=points_per_lidar,
+        max_imu_per_group=32,
+        traj_capacity=64,
+        spline_capacity=64,
+        epoch_capacity=32,
+        map_capacity=map_slots,
+        single_search=single_search,
+    )
+
+
+def _build_sequences(cfg, batch, duration, points_per_scan, seq_kwargs):
+    """Generate B synthetic sequences and assemble their measure groups."""
+    from malio_tpu.io.synthetic import SyntheticSequence
+    from malio_tpu.io.assemble import assemble_groups
+
     seqs = []
-    for b in range(B):
+    for b in range(batch):
         seq = SyntheticSequence(
-            duration=duration, num_lidars=L, points_per_scan=points,
-            ext_t=np.array([[0.2, 0.0, 0.0]]), seed=b,
+            duration=duration,
+            num_lidars=cfg.num_lidars,
+            points_per_scan=points_per_scan,
+            seed=b,
+            **seq_kwargs,
         )
         imu, rounds, traj = seq.generate()
         groups = assemble_groups(cfg, imu, rounds)
         seqs.append((groups, traj))
+    return seqs
 
-    carries, streams, bases = [], [], []
-    for groups, _ in seqs:
-        init = runner.ImuInitializer()
-        start = 0
-        prev_last = np.zeros(7)
-        for gi, g in enumerate(groups):
-            m = np.asarray(g["imu_mask"])
-            last = (
-                np.asarray(g["imu"], np.float64)[m.nonzero()[0][-1]]
-                if m.any()
-                else prev_last
-            )
-            if gi > 0 and init.done:
-                start = gi
-                break
-            init.update(np.asarray(g["imu"], np.float64), g["imu_mask"])
-            prev_last = last
-        x0 = runner.initial_state(cfg, init, dtype)
-        P0 = runner.initial_covariance(cfg, dtype)
-        Q = runner.process_noise(cfg, init, dtype)
-        c = pipeline.init_carry(cfg, x0, P0, Q, dtype)
-        b0 = group_base(groups[start])
-        c = c._replace(
-            mean_acc_norm=jnp.asarray(np.linalg.norm(init.mean_acc), dtype),
-            last_imu=jnp.asarray(prev_last, dtype).at[0].add(-b0),
-        )
-        carries.append(c)
-        streams.append(groups[start:])
-        bases.append(b0)
 
-    n_rounds = min(len(s) for s in streams)
-    # full chunks only: the benchmark scans each chunk as ONE dispatch
-    n_rounds -= n_rounds % chunk
-    batched_carry = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
-    vscan = jax.jit(
-        lambda c, gs: jax.lax.scan(
-            lambda cc, g: jax.vmap(lambda c1, g1: pipeline.step(cfg, c1, g1))(cc, g),
-            c,
-            gs,
+def _init_seq(cfg, groups, dtype):
+    """IMU-initialize one sequence; returns (carry, post-init groups, base)."""
+    import jax.numpy as jnp
+
+    from malio_tpu import runner, pipeline
+    from malio_tpu.runner import group_base
+
+    init = runner.ImuInitializer()
+    start = 0
+    prev_last = np.zeros(7)
+    for gi, g in enumerate(groups):
+        m = np.asarray(g["imu_mask"])
+        last = (
+            np.asarray(g["imu"], np.float64)[m.nonzero()[0][-1]]
+            if m.any()
+            else prev_last
         )
+        if gi > 0 and init.done:
+            start = gi
+            break
+        init.update(np.asarray(g["imu"], np.float64), g["imu_mask"])
+        prev_last = last
+    x0 = runner.initial_state(cfg, init, dtype)
+    P0 = runner.initial_covariance(cfg, dtype)
+    Q = runner.process_noise(cfg, init, dtype)
+    c = pipeline.init_carry(cfg, x0, P0, Q, dtype)
+    b0 = group_base(groups[start])
+    c = c._replace(
+        mean_acc_norm=jnp.asarray(np.linalg.norm(init.mean_acc), dtype),
+        last_imu=jnp.asarray(prev_last, dtype).at[0].add(-b0),
     )
+    return c, groups[start:], b0
 
-    np_dtype = np.float32
-    outs = []  # (stacked StepOutput with leading (K, B), bases (K, B))
-    t_mark = None
-    n_done = 0
+
+def _stack_batched_chunks(streams, bases, n_rounds, chunk, np_dtype):
+    """Pre-stack every (chunk, B) device group so timed passes measure pure
+    device work, not host marshalling. Returns [(group, bases (K, B))]."""
+    import jax
+    import jax.numpy as jnp
+
+    from malio_tpu.runner import _stack_chunk
+
+    B = len(streams)
+    chunks = []
     prev_bases = list(bases)
     for c0 in range(0, n_rounds, chunk):
         per_seq = []
@@ -120,17 +147,42 @@ def synthetic_batched_benchmark(
         gb = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs, axis=1), *[p[0] for p in per_seq]
         )
-        batched_carry, stacked = vscan(batched_carry, gb)
-        outs.append((stacked, np.stack([p[1] for p in per_seq], axis=1)))
+        chunks.append((gb, np.stack([p[1] for p in per_seq], axis=1)))
+    return chunks
+
+
+def _timed_pass(vscan, carry0, chunks, warmup, chunk):
+    """One replay of all chunks from the initial carry. Times rounds after
+    the first `warmup` rounds; returns (scans/s aggregate, stacked outs).
+
+    The timing fences are HOST FETCHES (np.asarray), not
+    block_until_ready: through the remote-TPU relay a block can return
+    before the remote execution has actually retired, which inflates
+    throughput ~10x; a materialized host value cannot lie."""
+    outs = []
+    t_mark = None
+    n_warm = 0
+    n_done = 0
+    carry = carry0
+    for gb, bs in chunks:
+        carry, stacked = vscan(carry, gb)
+        outs.append((stacked, bs))
         n_done += chunk
         if t_mark is None and n_done >= warmup:
-            stacked.pos.block_until_ready()
+            np.asarray(stacked.pos)
             t_mark = time.perf_counter()
             n_warm = n_done
-    outs[-1][0].pos.block_until_ready()
+    np.asarray(outs[-1][0].pos)
     t_end = time.perf_counter()
+    B = outs[-1][0].pos.shape[1]
     agg = (n_done - n_warm) * B / (t_end - t_mark) if t_mark else float("nan")
+    return agg, outs
 
+
+def _ates_from_outs(outs, seqs):
+    from malio_tpu.eval import ate
+
+    B = len(seqs)
     ates = []
     for b in range(B):
         pos = np.concatenate([np.asarray(o.pos[:, b]) for o, _ in outs])
@@ -139,4 +191,113 @@ def synthetic_batched_benchmark(
         )
         gt = seqs[b][1].pos(ts)
         ates.append(ate.ate_rmse(pos, gt))
-    return dict(aggregate_scans_per_sec=agg, per_seq=agg / B, ates=ates, rounds=n_done)
+    return ates
+
+
+def _run_benchmark(cfg, seqs, dtype, chunk, warmup, passes):
+    """Shared driver: init carries, pre-stack chunks, run `passes` timed
+    replays of the identical stream, compute ATE from the last pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from malio_tpu import pipeline
+
+    carries, streams, bases = [], [], []
+    for groups, _ in seqs:
+        c, stream, b0 = _init_seq(cfg, groups, dtype)
+        carries.append(c)
+        streams.append(stream)
+        bases.append(b0)
+
+    n_rounds = min(len(s) for s in streams)
+    # full chunks only: the benchmark scans each chunk as ONE dispatch
+    n_rounds -= n_rounds % chunk
+    carry0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
+    vscan = jax.jit(
+        lambda c, gs: jax.lax.scan(
+            lambda cc, g: jax.vmap(lambda c1, g1: pipeline.step(cfg, c1, g1))(cc, g),
+            c,
+            gs,
+        )
+    )
+    chunks = _stack_batched_chunks(
+        streams, bases, n_rounds, chunk, np.dtype(np.float32)
+    )
+
+    values = []
+    outs = None
+    for _ in range(max(1, passes)):
+        agg, outs = _timed_pass(vscan, carry0, chunks, warmup, chunk)
+        if np.isfinite(agg):
+            values.append(float(agg))
+    ates = _ates_from_outs(outs, seqs)
+    return values, ates, n_rounds
+
+
+def synthetic_batched_benchmark(
+    batch=16, duration=6.0, points=2048, dtype=None, chunk=16, warmup=8,
+    single_search=False,
+):
+    """Run B synthetic sequences through the vmapped step; returns a dict
+    with aggregate scans/s and per-sequence aligned ATE. One timed pass
+    (callers that want multiple passes loop themselves, matching the
+    round-1/2 bench.py behavior)."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
+    cfg = _light_config(points, single_search)
+    seqs = _build_sequences(
+        cfg, batch, duration, points, dict(ext_t=np.array([[0.2, 0.0, 0.0]]))
+    )
+    values, ates, n_rounds = _run_benchmark(cfg, seqs, dtype, chunk, warmup, 1)
+    agg = values[0] if values else float("nan")
+    return dict(
+        aggregate_scans_per_sec=agg, per_seq=agg / batch, ates=ates,
+        rounds=n_rounds,
+    )
+
+
+def flagship_benchmark(
+    batch=16, duration=6.0, points_per_lidar=4096, passes=3, chunk=8,
+    warmup=8, map_slots=None, single_search=False, dtype=None,
+):
+    """City config-3 flagship-shape benchmark: 3 LiDARs (City extrinsics),
+    3*points_per_lidar downsampled points per fusion round, a 1<<21-slot
+    map at full scale, City weighting laws + reference-reach k-NN.
+
+    Runs `passes` timed replays of the same pre-stacked stream (pass 1
+    includes compile; warmup rounds inside each pass are excluded) and
+    reports the per-pass throughputs plus their median and best.
+
+    Matches the workload of launch/mapping_city.launch + config/City.yaml:
+    Ouster-128 + Livox Avia + Livox Tele at filter_size 0.5 yields ~4k
+    points per LiDAR per round into a multi-million-point local map."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
+    if map_slots is None:
+        # full scale gets the City map; miniature smoke shapes scale down
+        map_slots = (1 << 21) if points_per_lidar >= 2048 else (1 << 15)
+    cfg = _flagship_config(points_per_lidar, map_slots, single_search)
+    ext_t = np.asarray(cfg.extrinsic_T, np.float64).reshape(3, 3)
+    ext_q = np.asarray(cfg.extrinsic_R, np.float64).reshape(3, 4)
+    seqs = _build_sequences(
+        cfg, batch, duration, points_per_lidar,
+        dict(ext_t=ext_t, ext_q_wxyz=ext_q, range_max=24.0),
+    )
+    values, ates, n_rounds = _run_benchmark(
+        cfg, seqs, dtype, chunk, warmup, passes
+    )
+    return dict(
+        values=values,
+        median=float(np.median(values)) if values else float("nan"),
+        best=float(np.max(values)) if values else float("nan"),
+        per_seq_median=(float(np.median(values)) / batch) if values else float("nan"),
+        ates=ates,
+        rounds=n_rounds,
+        points_per_round=cfg.num_lidars * points_per_lidar,
+        map_slots=map_slots,
+        batch=batch,
+    )

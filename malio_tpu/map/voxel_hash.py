@@ -155,7 +155,7 @@ def lookup(m: VoxelHashMap, keys):
     return jnp.where(found, slot, 0), found
 
 
-def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
+def insert(m: VoxelHashMap, pts, covs, mask, rounds: int = INSERT_ROUNDS) -> VoxelHashMap:
     """Insert a batch of world-frame points with stored covariances.
 
     Policy: a voxel keeps the lowest-covariance point offered to it
@@ -215,7 +215,7 @@ def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
         pending = pending & ~winner
         return m, pending
 
-    m, pending = jax.lax.fori_loop(0, INSERT_ROUNDS, round_body, (m, pending))
+    m, pending = jax.lax.fori_loop(0, rounds, round_body, (m, pending))
     # scrub the dump row and account overflow
     rec = m.rec.at[DUMP].set(jnp.zeros((4,), dtype).at[3].set(jnp.inf))
     return m._replace(
@@ -234,6 +234,29 @@ def evict_outside(m: VoxelHashMap, box_min, box_max) -> VoxelHashMap:
         fp=jnp.where(keep, m.fp, jnp.int32(0)),
         rec=m.rec.at[:, 3].set(jnp.where(keep, m.rec[:, 3], jnp.inf)),
     )
+
+
+def transform(m: VoxelHashMap, dq, dt) -> VoxelHashMap:
+    """Rigidly transform every stored point by the world-frame correction
+    p' = R(dq) p + dt and re-hash into a fresh table (used when a pose-graph
+    loop closure re-anchors the world frame; the reference has no analog —
+    its map is never corrected after insert, laserMapping.cpp:398-446).
+
+    Stored covariances ride along unchanged (`normal_y` is a scalar
+    quality, not frame-dependent). Points that collide into one voxel
+    after the transform resolve by the usual lowest-covariance policy;
+    unresolvable collisions count into `n_dropped`."""
+    from ..geometry import so3
+
+    fresh = create(m.capacity, 1.0, m.rec.dtype)._replace(
+        voxel_size=m.voxel_size, n_dropped=m.n_dropped
+    )
+    pts = so3.quat_rotate(dq[None], m.points) + dt
+    covs = jnp.where(m.occupied, m.covs, jnp.inf)
+    # a whole-map rehash offers every record at once: the incremental
+    # 2-round claim budget (losers re-offer next scan) does not apply —
+    # resolve collision chains fully so the rehash is lossless
+    return insert(fresh, pts, covs, m.occupied, rounds=MAX_PROBE)
 
 
 def size(m: VoxelHashMap):

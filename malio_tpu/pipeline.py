@@ -17,6 +17,7 @@ host-side (see malio_tpu.io / malio_tpu.runner).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -334,3 +335,87 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
         world_mask=flat_mask,
     )
     return new_carry, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def apply_world_correction(cfg, carry: LioCarry, dq, dt):
+    """Apply a world-frame rigid correction T' = dT ∘ T (from the
+    pose-graph back-end after a loop closure) to the ENTIRE carry: state,
+    covariance, IMU-rate pose history, map, and local-map box, so
+    subsequent odometry continues from the graph-corrected pose. The
+    reference has no analog — its trajectory is filter-only and the map
+    is never corrected (laserMapping.cpp:1070-1071, :398-446).
+
+    Consistency rules (right-perturbation tangents, state.boxplus):
+
+      * rot tangent is right-sided (q ⊞ δ = q·Exp δ), so left-multiplying
+        dq leaves rotation tangents unchanged (J_rot = I);
+      * pos/vel tangents conjugate by R(dq);
+      * gravity is a world vector: g' = R(dq)·g, with the S2 chart
+        transport J_g = Nx(g') R(dq) Mx(g, 0) (S2.hpp chart maps);
+      * extrinsics and IMU biases are body-frame (J = I);
+      * map points re-hash through voxel_hash.transform; the local box is
+        re-centered on the corrected pose and the map re-evicted so the
+        map ⊆ box invariant holds.
+
+    `step` is equivariant under this operation (away from the box edge):
+    stepping the corrected carry equals correcting the stepped carry —
+    tested in tests/test_posegraph.py.
+    """
+    from .geometry import s2
+
+    dtype = carry.P.dtype
+    dq = so3.quat_normalize(dq.astype(dtype))
+    dt = dt.astype(dtype)
+    x = carry.x
+    L = x.ext_r.shape[0]
+    R = so3.quat_to_mat(dq)
+    # pure rotation preserves |g| exactly — do NOT re-project onto the
+    # default-length sphere (the filter's gravity norm tracks the measured
+    # |mean_acc| scaling, IMU_Processing.hpp:318)
+    g_new = so3.quat_rotate(dq, x.grav)
+    x2 = dataclasses.replace(
+        x,
+        pos=so3.quat_rotate(dq, x.pos) + dt,
+        rot=so3.quat_normalize(so3.quat_mul(dq, x.rot)),
+        vel=so3.quat_rotate(dq, x.vel),
+        grav=g_new,
+    )
+
+    n = carry.P.shape[0]
+    J = jnp.eye(n, dtype=dtype)
+    J = J.at[0:3, 0:3].set(R)
+    ov = st.idx_vel(L)
+    J = J.at[ov : ov + 3, ov : ov + 3].set(R)
+    og = st.idx_grav(L)
+    Jg = s2.s2_nx_yy(g_new) @ R @ s2.s2_mx(x.grav, jnp.zeros(2, dtype))
+    J = J.at[og : og + 2, og : og + 2].set(Jg)
+    P2 = J @ carry.P @ J.T
+
+    h = carry.hist
+    Rb = (
+        jnp.zeros((6, 6), dtype)
+        .at[:3, :3].set(R)
+        .at[3:, 3:].set(jnp.eye(3, dtype=dtype))
+    )
+    h2 = h._replace(
+        q=so3.quat_normalize(so3.quat_mul(dq[None], h.q)),
+        p=so3.quat_rotate(dq[None], h.p) + dt,
+        cov=jnp.einsum("ij,njk,lk->nil", Rb, h.cov, Rb),
+    )
+
+    half = jnp.asarray(cfg.cube_len / 2.0, dtype)
+    box_min = x2.pos - half
+    box_max = x2.pos + half
+    map2 = vh.transform(carry.map, dq, dt)
+    map2 = vh.evict_outside(map2, box_min, box_max)
+
+    return carry._replace(
+        x=x2,
+        P=P2,
+        hist=h2,
+        map=map2,
+        box_min=box_min,
+        box_max=box_max,
+        box_init=jnp.asarray(True),
+    )

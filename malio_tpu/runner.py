@@ -262,6 +262,21 @@ def run_sequence(
                 smoother.observe(out, t_base=float(bases[k]))
             if posegraph is not None:
                 posegraph.observe(out, t_base=float(bases[k]))
+                corr = (
+                    posegraph.take_correction()
+                    if hasattr(posegraph, "take_correction")
+                    else None
+                )
+                if corr is not None:
+                    # loop closure: re-anchor the filter carry (state, P,
+                    # history, map, box) onto the graph-corrected frame
+                    dq, dtv = corr
+                    carry = pipeline.apply_world_correction(
+                        cfg,
+                        carry,
+                        jnp.asarray(np.asarray(dq), dtype),
+                        jnp.asarray(np.asarray(dtv), dtype),
+                    )
             if callback is not None:
                 # out.end_time is group-relative (f32-safe on device);
                 # bases[k] restores the absolute f64 timeline

@@ -131,6 +131,13 @@ def main():
         "relaxation) alongside the filter and write <out>.graph",
     )
     ap.add_argument(
+        "--posegraph-feedback",
+        action="store_true",
+        help="with --posegraph: feed loop-closure corrections back into "
+        "the filter carry (state/P/history/map re-anchored on the "
+        "graph-optimized frame)",
+    )
+    ap.add_argument(
         "--save-cloud-every",
         type=int,
         default=0,
@@ -249,7 +256,9 @@ def main():
     if args.posegraph:
         from malio_tpu.posegraph import PoseGraphBackend
 
-        graph = PoseGraphBackend(dtype=dtype)
+        graph = PoseGraphBackend(
+            dtype=dtype, feedback=args.posegraph_feedback
+        )
     if args.online:
         res, lat = _run_online(cfg, imu, rounds, dtype)
         dt = time.time() - t0
