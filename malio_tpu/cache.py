@@ -20,3 +20,10 @@ def enable(platform_hint: str | None = None):
     # TPU f32 matmuls default to bf16 MXU passes — fatal for the 35x35
     # covariance algebra. The filter's matmuls are tiny; force full f32.
     jax.config.update("jax_default_matmul_precision", "highest")
+    # x64 so the IEKF solve island (esekf.update_iterated `sdtype`) can run
+    # in f64 while arrays stay f32: the all-f32 solve destabilizes the
+    # filter at the City working point (P grows ~1.5x/round, detonates
+    # ~round 10 — see esekf.py). The axon TPU backend executes the few
+    # (35, 35) f64 ops fine; per-point math remains f32 via explicit
+    # dtypes throughout.
+    jax.config.update("jax_enable_x64", True)

@@ -50,12 +50,14 @@ def _tangent_transport(x_lin: st.State, dx, x_prop: st.State):
     for s in st.so3_block_starts(L):
         seg = jax.lax.dynamic_slice(dx, (s,), (3,))
         blk = jnp.swapaxes(so3.A_matrix(seg), -1, -2)
-        J = jax.lax.dynamic_update_slice(J, blk, (s, s))
+        J = jax.lax.dynamic_update_slice(J, blk.astype(J.dtype), (s, s))
     gi = st.idx_grav(L)
     seg2 = jax.lax.dynamic_slice(dx, (gi,), (2,))
-    Nx = s2.s2_nx_yy(x_lin.grav)
-    Mx = s2.s2_mx(x_prop.grav, seg2)
-    J = jax.lax.dynamic_update_slice(J, Nx @ Mx, (gi, gi))
+    # chart blocks come from the (possibly lower-precision) state; the
+    # transport runs in dx's dtype (the solve dtype)
+    Nx = s2.s2_nx_yy(x_lin.grav.astype(dx.dtype))
+    Mx = s2.s2_mx(x_prop.grav.astype(dx.dtype), seg2)
+    J = jax.lax.dynamic_update_slice(J, (Nx @ Mx).astype(J.dtype), (gi, gi))
     return J
 
 
@@ -112,29 +114,40 @@ def update_iterated(
     n = st.dof(L)
     act = 6 * (L + 1)
     dtype = P0.dtype
-    I_n = jnp.eye(n, dtype=dtype)
+    # Solve dtype: the 35x35 information-form solve and covariance update
+    # run in f64 when x64 is available, even when the point pipeline and
+    # stored state are f32. Measured necessity (City config-3, f32
+    # everything): the f32 solve's eigenvalue floor injects covariance
+    # along weakly observed directions, P grows ~1.5x/round and detonates
+    # around round 10 (normal_y -> 1e10, trajectory lost); with the f64
+    # solve island the same run matches the all-f64 trajectory. The extra
+    # cost is a few (n, n) ops per iteration — noise next to the (M, act)
+    # point math, which stays f32. The reference runs double throughout
+    # (Eigen, esekfom.hpp:620-638).
+    sdtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    I_n = jnp.eye(n, dtype=sdtype)
 
     def body(carry):
         (i, t, converge, x, _P_t, _Kxa, _dx_out, ever_valid, cache, _done) = carry
         search = converge if search_on_converge else (i == -1)
         res, cache = h_share_fn(x, search, cache)
 
-        dx = st.boxminus(x, x0).astype(dtype)
+        dx = st.boxminus(x, x0).astype(sdtype)
         J = _tangent_transport(x, dx, x0)
         dx_new = J @ dx
-        P_t = J @ P0 @ J.T
+        P_t = J @ P0.astype(sdtype) @ J.T
 
-        w_mask = res.mask.astype(dtype)
-        R_eff = jnp.where(res.R < r_floor_check, r_floor_value, res.R)
+        w_mask = res.mask.astype(sdtype)
+        R_eff = jnp.where(res.R < r_floor_check, r_floor_value, res.R).astype(sdtype)
         w = w_mask / R_eff  # (M,)
-        HTw = res.H.T * w[None, :]  # (act, M)
-        HTH = HTw @ res.H  # (act, act)
+        HTw = res.H.T.astype(sdtype) * w[None, :]  # (act, M)
+        HTH = HTw @ res.H.astype(sdtype)  # (act, act)
 
         P_inv = _spd_inverse(P_t)
         P_temp = P_inv.at[:act, :act].add(HTH)
         Pi = _spd_inverse(P_temp)
         Pia = Pi[:, :act]
-        K_h = Pia @ (HTw @ res.h)
+        K_h = Pia @ (HTw @ res.h.astype(sdtype))
         K_xa = Pia @ HTH  # (n, act)
 
         dx_out = K_h + K_xa @ dx_new[:act] - dx_new
@@ -170,9 +183,9 @@ def update_iterated(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(True),
         x0,
-        P0,
-        jnp.zeros((n, act), dtype),
-        jnp.zeros((n,), dtype),
+        P0.astype(sdtype),
+        jnp.zeros((n, act), sdtype),
+        jnp.zeros((n,), sdtype),
         jnp.asarray(False),
         cache0,
         jnp.asarray(False),
@@ -182,15 +195,15 @@ def update_iterated(
     )
 
     # final covariance update with fresh chart transport at the accepted step
-    # (esekfom.hpp:665-714)
+    # (esekfom.hpp:665-714) — still in the solve dtype
     J2 = _tangent_transport(x_f, dx_out, x0)
     L_mat = J2 @ P_t @ J2.T
     P_cols = P_t @ J2.T
     K2 = J2 @ K_xa  # row transport of K_x's active columns
     P_new = L_mat - K2 @ P_cols[:act, :]
-    # the subtraction form drifts from symmetry in f32; repair it so the
-    # next round's propagation and solve stay positive-definite
-    P_new = 0.5 * (P_new + P_new.T)
+    # the subtraction form drifts from symmetry; repair it so the next
+    # round's propagation and solve stay positive-definite
+    P_new = (0.5 * (P_new + P_new.T)).astype(dtype)
 
     P_out = jnp.where(ever_valid, P_new, P0)
     x_out = jax.tree_util.tree_map(

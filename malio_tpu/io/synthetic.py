@@ -157,6 +157,12 @@ class SyntheticSequence:
     ext_q_wxyz: np.ndarray = None
     phase: np.ndarray = None  # scan start offsets in seconds
     seed: int = 0
+    # overrides for the analytic trajectory / plane world, e.g.
+    # dict(yaw_rate=0.5) closes the planar arc into a revisiting circle
+    # (radius speed/yaw_rate, period 2*pi/yaw_rate + ramp/2) for
+    # loop-closure tests
+    traj_kwargs: dict = None
+    world_kwargs: dict = None
 
     def __post_init__(self):
         L = self.num_lidars
@@ -179,8 +185,8 @@ class SyntheticSequence:
         keys beg_t, end_t, pts (P,4 with absolute per-point time in col 3,
         xyz in the LiDAR frame at each point's own timestamp)."""
         rng = np.random.default_rng(self.seed)
-        traj = Trajectory()
-        anchors, _ = make_world(seed=self.seed)
+        traj = Trajectory(**(self.traj_kwargs or {}))
+        anchors, _ = make_world(seed=self.seed, **(self.world_kwargs or {}))
 
         imu_t = np.arange(0.0, self.duration, 1.0 / self.imu_rate)
         imu = np.zeros((imu_t.size, 7))

@@ -219,7 +219,7 @@ def icp_point_to_plane(
     cannot deactivate cells and lower the cost (that failure was measured:
     the BALM cost at ground truth exceeded the cost at a 0.19 m / 1.7 deg
     offset). Returns (zq, zt, quality) with quality = matched fraction *
-    relative RMS improvement."""
+    final-alignment goodness (1 - rms1 / max(rms0, huber))."""
     dtype = tgt_pts.dtype
     c, nrm, valid = _plane_model(tgt_pts, tgt_mask, cell_size, num_cells, min_pts)
 
@@ -258,7 +258,15 @@ def icp_point_to_plane(
     r1, w1 = residuals(zq, zt, jnp.zeros((6,), dtype))
     rms1 = jnp.sqrt(jnp.sum(w1 * r1 * r1) / jnp.maximum(jnp.sum(w1), 1.0))
     frac = jnp.sum(w1 > 0) / jnp.maximum(jnp.sum(src_mask), 1)
-    quality = frac * (1.0 - rms1 / jnp.maximum(rms0, 1e-12))
+    # quality judges the FINAL alignment, not the improvement: an edge
+    # whose initial guess was already good (low-drift revisit) must not
+    # be rejected for having nothing left to improve. rms1 is compared
+    # against the larger of the initial rms and the Huber scale, so a
+    # converged edge scores ~frac while non-overlapping or degenerate
+    # alignments (rms1 ~ rms0 or ~huber) score ~0.
+    quality = frac * jnp.maximum(
+        0.0, 1.0 - rms1 / jnp.maximum(rms0, jnp.asarray(huber, dtype))
+    )
     return zq, zt, quality
 
 
@@ -346,6 +354,7 @@ class PoseGraphBackend:
         self.opt_q = None
         self.opt_t = None
         self._pending = None
+        self.n_feedback = 0  # corrections staged (observability)
 
     def observe(self, out, t_base=0.0):
         self._round += 1
@@ -427,6 +436,7 @@ class PoseGraphBackend:
 
         self.q[:n] = self.opt_q[:n]
         self.t[:n] = self.opt_t[:n]
+        self.n_feedback += 1
         # compose with any unconsumed correction (two closures between
         # front-end polls): total = dT_new ∘ dT_old
         if self._pending is not None:

@@ -573,3 +573,63 @@ def test_run_sequence_applies_staged_correction():
     assert np.allclose(res["pos"][:10], base["pos"][:10], atol=1e-9)
     # tie-break tolerance: see test_apply_world_correction_equivariance
     assert np.abs(res["pos"][10:n] - (base["pos"][10:n] + dt)).max() < 0.08
+
+
+@pytest.mark.slow
+def test_pipeline_loop_closure_feedback_end_to_end():
+    """Full pipeline on a circular (revisiting) trajectory with inflated
+    gyro noise: the back-end detects the revisit, closes a loop edge,
+    and with feedback=True re-anchors the filter. Asserts the whole
+    chain fires end-to-end and does no harm: graph ATE beats raw
+    odometry, and the corrected run's trajectory stays comparable."""
+    from malio_tpu import runner
+    from malio_tpu.io.synthetic import SyntheticSequence
+    from malio_tpu.io.assemble import assemble_groups
+    from malio_tpu.eval import ate as ev
+
+    cfg = _mini_cfg()
+    # seed 12: a world/trajectory draw on which the filter tracks well
+    # (some seeds produce degenerate early geometry at this point count)
+    seq = SyntheticSequence(
+        duration=18.0, num_lidars=1, points_per_scan=768,
+        ext_t=np.array([[0.2, 0.0, 0.0]]), seed=12,
+        imu_noise_gyr=3e-3,
+        traj_kwargs=dict(yaw_rate=0.5, speed=2.0),
+    )
+    imu, rounds, traj = seq.generate()
+    groups = assemble_groups(cfg, imu, rounds)
+
+    def run(feedback):
+        # sparse 768-pt keyframe clouds over a room-sized world: coarser
+        # ICP plane cells and a lower acceptance gate than the dense-cloud
+        # defaults (matched fraction is structurally low when many cells
+        # hold < min_pts points)
+        backend = pg.PoseGraphBackend(
+            capacity=64, edge_capacity=128, keyframe_every=5,
+            cloud_points=768, loop_radius=2.0, min_time_gap=8.0,
+            cell_size=2.0, icp_min_pts=3, min_quality=0.05,
+            feedback=feedback,
+        )
+        res = runner.run_sequence(
+            cfg, groups, dtype=jnp.float64, posegraph=backend
+        )
+        return backend, res
+
+    b0, r0 = run(False)
+    b1, r1 = run(True)
+    assert b0.n_loop_edges >= 1, "no revisit closed without feedback"
+    assert b1.n_loop_edges >= 1, "no revisit closed with feedback"
+    assert b1.n_feedback >= 1, "feedback never staged a correction"
+
+    gt0 = traj.pos(r0["t"])
+    gt1 = traj.pos(r1["t"])
+    ate_od = ev.ate_rmse(r0["pos"], gt0, align=False)
+    ate_fb = ev.ate_rmse(r1["pos"], gt1, align=False)
+    _, gp0, _ = b0.trajectory()
+    ts0, _, _ = b0.trajectory()
+    ate_graph = ev.ate_rmse(gp0, traj.pos(ts0), align=False)
+    assert np.isfinite(ate_fb) and np.isfinite(ate_od)
+    # the graph back-end improves on raw odometry...
+    assert ate_graph < ate_od, (ate_graph, ate_od)
+    # ...and feeding it back does no harm to the live trajectory
+    assert ate_fb < ate_od * 1.2 + 0.02, (ate_fb, ate_od)
