@@ -63,21 +63,30 @@ def _tangent_transport(x_lin: st.State, dx, x_prop: st.State):
 
 def _spd_inverse(A):
     """Robust inverse of a (nominally) symmetric positive-definite matrix:
-    Jacobi scaling + eigendecomposition with an eigenvalue floor.
+    Jacobi scaling + Cholesky, with a jittered retry for indefiniteness.
 
     The covariance update's subtraction form (P = L - K_x P,
-    esekfom.hpp:714) can leave P slightly indefinite in f32; a Cholesky
-    would NaN on the next round, an eigenvalue clamp just repairs it. The
-    35x35 eigh costs microseconds and runs a handful of times per scan."""
+    esekfom.hpp:714) can leave P slightly indefinite; the first Cholesky
+    then produces NaNs and the jittered factorization takes over (the
+    equilibrated matrix has unit diagonal, so a fixed relative jitter is
+    a principled floor). Cholesky replaced the round-3 eigh+clamp: XLA's
+    TPU eigh on a 35x35 runs millisecond-scale iterative sweeps and
+    dominated the whole fusion round; two triangular solves cost ~nothing
+    and the solve island runs f64, where the indefinite case is rare."""
     A = 0.5 * (A + A.T)
     d = jnp.sqrt(jnp.clip(jnp.diagonal(A), 1e-30, None))
     inv_d = 1.0 / d
     As = A * inv_d[:, None] * inv_d[None, :]
     As = 0.5 * (As + As.T)
-    floor = 1e-6 if A.dtype == jnp.float32 else 1e-12
-    w, V = jnp.linalg.eigh(As)
-    w = jnp.clip(w, floor, None)
-    Ws = (V / w[None, :]) @ V.T
+    n = A.shape[0]
+    I = jnp.eye(n, dtype=A.dtype)
+    jitter = 1e-5 if A.dtype == jnp.float32 else 1e-10
+    L1 = jnp.linalg.cholesky(As)
+    L2 = jnp.linalg.cholesky(As + jitter * I)
+    ok = ~jnp.any(jnp.isnan(L1))
+    Lc = jnp.where(ok, L1, jnp.where(jnp.any(jnp.isnan(L2)), I, L2))
+    Linv = jax.scipy.linalg.solve_triangular(Lc, I, lower=True)
+    Ws = Linv.T @ Linv
     return Ws * inv_d[:, None] * inv_d[None, :]
 
 

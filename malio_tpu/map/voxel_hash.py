@@ -411,22 +411,29 @@ def knn(
 
     Q = queries.shape[0]
     accept_d2 = jnp.asarray(accept_d2, nn_d2.dtype)
-    need = ~((nn_cnt >= k) & (nn_d2[:, k - 1] <= accept_d2))
-    if qmask is not None:
-        need = need & qmask
-    idx = jnp.nonzero(need, size=wide_budget, fill_value=Q)[0]
-    live = idx < Q
-    safe = jnp.minimum(idx, Q - 1)
-    w_pts, w_covs, w_d2, w_cnt = _knn_window(
-        m, queries[safe], k, _ball_offsets(wide_radius)
-    )
-    # the wide window is a superset of the base window (all |o| <= 1 cells
-    # pass the ball prune), so its result replaces the base row outright;
-    # dead lanes scatter to row Q, which mode="drop" discards
-    tgt = jnp.where(live, safe, Q)
-    return (
-        nn_pts.at[tgt].set(w_pts, mode="drop"),
-        nn_covs.at[tgt].set(w_covs, mode="drop"),
-        nn_d2.at[tgt].set(w_d2, mode="drop"),
-        nn_cnt.at[tgt].set(w_cnt, mode="drop"),
-    )
+
+    def escalate(res, offs, budget):
+        """Re-search acceptance-rule failures over a wider static window
+        and splice the results back; dead lanes scatter to row Q, which
+        mode="drop" discards. Every escalation window is a superset of
+        the previous one, so its rows replace outright."""
+        pts, covs, d2, cnt = res
+        need = ~((cnt >= k) & (d2[:, k - 1] <= accept_d2))
+        if qmask is not None:
+            need = need & qmask
+        idx = jnp.nonzero(need, size=budget, fill_value=Q)[0]
+        live = idx < Q
+        safe = jnp.minimum(idx, Q - 1)
+        w = _knn_window(m, queries[safe], k, offs)
+        tgt = jnp.where(live, safe, Q)
+        return tuple(
+            base.at[tgt].set(wide, mode="drop") for base, wide in zip(res, w)
+        )
+
+    res = (nn_pts, nn_covs, nn_d2, nn_cnt)
+    # single stage: a cheaper intermediate window cannot FINALIZE a query
+    # without breaking the exactness contract (an escalated query must see
+    # the full sqrt(accept_d2) ball, tests/test_map.py tunnel recall), and
+    # with fixed shapes a non-finalizing stage saves nothing — the final
+    # window still pays its full static budget.
+    return escalate(res, _ball_offsets(wide_radius), wide_budget)

@@ -107,17 +107,26 @@ class MetricsLogger:
             self.jsonl.close()
 
 
-def kernel_timer(fn, *args, iters=10):
-    """First-class kernel timing hook (the BASELINE 'kernel time' metric):
-    median wall time of a jitted callable over repeated same-input calls."""
+def _materialize_one(out):
+    """Fetch one array leaf to host — the only trustworthy execution fence
+    through the remote-TPU relay (block_until_ready can return before the
+    remote execution retires, inflating rates ~100x; a host value cannot
+    lie). The device executes its stream in order, so fetching any leaf of
+    the LAST call waits for every queued call before it."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
+    leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
+    np.asarray(leaves[0])
+    return out
+
+
+def kernel_timer(fn, *args, iters=10):
+    """First-class kernel timing hook (the BASELINE 'kernel time' metric):
+    sustained wall time per call of a jitted callable — `iters` queued
+    same-input calls fenced by ONE host fetch of the last result."""
+    out = _materialize_one(fn(*args))  # compile + sync
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)), out
+    _materialize_one(out)
+    return (time.perf_counter() - t0) / iters, out
