@@ -55,18 +55,18 @@ def main():
     _cache.enable()
     from malio_tpu.batched import flagship_benchmark
 
-    # B=16 batched flagship: 3 passes, report median (honest) + best.
+    # Single-sequence flagship (the live-robot / per-chip shape). The
+    # fusion round is gather-latency-bound, so lockstep batching on ONE
+    # chip REDUCES aggregate throughput (measured: B=8 aggregate 1.15
+    # scans/s vs B=1 at 2.7 pre-bucket-layout — benchmarks/RESULTS.md
+    # round 3); multi-sequence scale-out is the dp mesh axis across
+    # chips, not vmap on one. Median of 3 identical passes (pass 1
+    # carries compile; the median discards it), best alongside.
     res = flagship_benchmark(
-        batch=16, duration=6.0, points_per_lidar=4096, passes=3
+        batch=1, duration=8.0, points_per_lidar=4096, passes=3
     )
     value = _finite(res, "median")
     best = _finite(res, "best")
-
-    # single-sequence flagship (live-robot shape); 2 passes, median.
-    res1 = flagship_benchmark(
-        batch=1, duration=8.0, points_per_lidar=4096, passes=2
-    )
-    single = _finite(res1, "median")
 
     print(
         json.dumps(
@@ -75,13 +75,10 @@ def main():
                 "value": round(value, 3),
                 "unit": "scans/s",
                 "vs_baseline": round(value / BASELINE_SCANS_PER_SEC, 3),
-                "config": "city-flagship 3-lidar 12288pt 2Mslot B=16",
+                "config": "city-flagship 3-lidar 12288pt 2Mslot B=1",
                 "best": round(best, 3),
                 "passes": [round(v, 3) for v in res["values"]],
-                "single_seq": round(single, 3),
-                "single_seq_vs_baseline": round(
-                    single / BASELINE_SCANS_PER_SEC, 3
-                ),
+                "ate_m": round(float(res["ates"][0]), 4),
             }
         )
     )

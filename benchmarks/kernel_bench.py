@@ -116,17 +116,18 @@ def main():
         unc_cov=und.unc_cov,
         epoch_count=und.epoch_count,
     )
-    cache0 = meas.init_cache(M, dtype)
     # make_h_share must be called INSIDE the jit: calling it eagerly would
     # close the jitted lambda over device arrays (map/scan tensors), which
     # the axon runtime punishes with a permanent ~24 ms per-dispatch penalty
     # for the rest of the process (see benchmarks/RESULTS.md round 2).
-    upd_j = jax.jit(
-        lambda x, P, m, s, c0: esekf.update_iterated(
-            x, P, meas.make_h_share(cfg, m, s), c0, max_iter=cfg.max_iteration
-        )
-    )
-    t, _ = kernel_timer(upd_j, carry.x, carry.P, m2, sd, cache0)
+    # It now also performs the round's one gathering search and returns
+    # the prefilled candidate cache.
+    def _upd(x, P, m, s):
+        h, c0 = meas.make_h_share(cfg, m, s, x)
+        return esekf.update_iterated(x, P, h, c0, max_iter=cfg.max_iteration)
+
+    upd_j = jax.jit(_upd)
+    t, _ = kernel_timer(upd_j, carry.x, carry.P, m2, sd)
     results["iekf_update"] = t
 
     step_j = jax.jit(lambda c, g: pipeline.step(cfg, c, g))

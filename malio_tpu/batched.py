@@ -283,9 +283,16 @@ def flagship_benchmark(
     cfg = _flagship_config(points_per_lidar, map_slots, single_search)
     ext_t = np.asarray(cfg.extrinsic_T, np.float64).reshape(3, 3)
     ext_q = np.asarray(cfg.extrinsic_R, np.float64).reshape(3, 4)
+    # dense urban-like world (~100k plane anchors): the City environment
+    # has surfaces everywhere, so acceptance failures (and therefore the
+    # wide-kNN escalation budget) stay a small fraction of the queries —
+    # a sparse world makes the budget silently undersized instead
     seqs = _build_sequences(
         cfg, batch, duration, points_per_lidar,
-        dict(ext_t=ext_t, ext_q_wxyz=ext_q, range_max=24.0),
+        dict(
+            ext_t=ext_t, ext_q_wxyz=ext_q, range_max=35.0,
+            world_kwargs=dict(n_planes=96, extent=40.0, patch=10.0, grid=0.3),
+        ),
     )
     values, ates, n_rounds = _run_benchmark(
         cfg, seqs, dtype, chunk, warmup, passes

@@ -186,8 +186,8 @@ def _smoke():
             np.asarray(sh.data), ref_P[None], atol=1e-8
         )
     # the map stayed sharded: each process holds only its mp slice
-    T = new_carry.map.fp.shape[-1]
-    local_rows = new_carry.map.fp.addressable_shards[0].data.shape[-1]
+    T = new_carry.map.tab.shape[-3]  # bucket rows
+    local_rows = new_carry.map.tab.addressable_shards[0].data.shape[-3]
     assert local_rows <= (T + mp - 1) // mp, (local_rows, T, mp)
     print(
         f"multihost smoke ok: pid {jax.process_index()}/{jax.process_count()}"

@@ -72,12 +72,11 @@ def carry_sharding(mesh: Mesh, carry: pipeline.LioCarry):
     a masked local gather + psum over mp and routes insert scatters to the
     owning shard — the TPU-native form of owner-partitioning with the
     exchange riding ICI (SURVEY §2.4; VERDICT round-1 item 3)."""
+    # tab is (dp, B_buckets, BUCKET, 5): shard the bucket-row axis over mp
     map_shard = NamedSharding(mesh, Ps("dp", "mp"))
     dp_only = NamedSharding(mesh, Ps("dp"))
     shardings = jax.tree_util.tree_map(lambda a: dp_only, carry)
-    return shardings._replace(
-        map=shardings.map._replace(fp=map_shard, rec=map_shard)
-    )
+    return shardings._replace(map=shardings.map._replace(tab=map_shard))
 
 
 def make_sharded_step(cfg, mesh: Mesh, carry_template=None):

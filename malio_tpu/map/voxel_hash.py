@@ -11,26 +11,38 @@ Policy parity with the reference (not a port of its pointer machinery):
     (laserMapping.cpp:171-224): cells outside the sliding local-map box are
     freed in one masked pass — no background rebuild thread is needed
     because insert/evict are O(1) data-parallel scatters;
-  * k-NN returns the 5 nearest stored points with their covariances,
+  * k-NN returns the k nearest stored points with their covariances,
     searched over the (2r+1)^3 voxel neighborhood of the query.
 
-Storage layout (round-2 redesign, driven by TPU gather cost — the round-1
-profile showed the map was bound by the NUMBER of random HBM gathers, not
-bytes):
+Storage layout (round-3 bucket redesign, driven by a gather
+microbenchmark on the chip): the v5e fetches a CONTIGUOUS table row of up
+to ~256 B in ~8-10 ns regardless of width, but a (Q, 8)-shaped
+scalar-window gather costs ~58 ns and the round-2 two-gather probe
+(fingerprint window + matched record) ~64 ns per cell. So the table is an
+array of ALIGNED BUCKETS:
 
-  * one packed record row per slot: rec[(x, y, z, cov)] — a 16 B aligned
-    row fetched with a single gather instead of two;
-  * a separate int32 fingerprint array `fp` (0 = empty). The probe window
-    is CONTIGUOUS: the table is over-allocated by MAX_PROBE rows so probe
-    sequences never wrap, and each probe window is fetched with ONE
-    slice-gather of MAX_PROBE words instead of MAX_PROBE scalar gathers;
-  * query and insert use the SAME probe depth (round 1 probed 4 on query
-    vs 8 on insert, silently losing points at high load factors);
-  * the final over-allocated row (index C + MAX_PROBE - 1) can never be
-    reached by any probe sequence and serves as the scatter dump row for
-    losing insert candidates.
+  * `tab` has shape (B + 1, BUCKET, 5); bucket row b is 40 contiguous
+    floats holding BUCKET slots of [fp, x, y, z, cov] — fingerprint and
+    record FUSED;
+  * a voxel key hashes (murmur-remixed, so dense key grids spread over
+    ALL hash bits, not just the low ones) to bucket b and may occupy any
+    of the 2*BUCKET slots of the aligned pair starting at
+    b_start = min(b, B-2) — fetched with ONE two-row slice-gather (320 B
+    contiguous). The clamp keeps the row count a power of two (the mp
+    shard axis divides it); the last two hash buckets simply share a
+    window. Identification is a fingerprint lane-compare — pure VPU work
+    on the fetched rows. A full 16-slot window drops the candidate
+    (counted in `n_dropped`); claims prefer a fingerprint-derived lane
+    rotation so same-batch candidates hitting one window contend rarely;
+  * fingerprints are 23-bit (nonzero) so they are EXACT in any float
+    dtype >= f32 — the fused row stays one homogeneous float array
+    (bitcasting f32 patterns through an f64 test table would
+    canonicalize NaN payloads). Window-collision freedom of the 23-bit
+    fingerprint is checked exhaustively in tests/test_map.py.
 
-All operations are jit-safe, vmap-based, fixed-shape.
+All operations are jit-safe, vmap-based, fixed-shape. `tab.reshape(T, 5)`
+is the free flat struct view used by scatters and full-table passes
+(row-major (B, BUCKET, 5) is bit-identical to (T, 5)).
 """
 from __future__ import annotations
 
@@ -45,49 +57,63 @@ import jax.numpy as jnp
 _P1 = np.int32(73856093)
 _P2 = np.int32(19349663)
 _P3 = np.int32(83492791)
-# independent primes for the 32-bit fingerprint fast path
+# independent primes for the fingerprint fast path
 _F1 = np.int32(1540483477)
 _F2 = np.int32(1274126177)
 _F3 = np.int32(868864169)
 
-MAX_PROBE = 8
+BUCKET = 8  # slots per bucket row
+WINDOW = 2 * BUCKET  # slots reachable per key (aligned bucket pair)
 # two rounds resolve all matches plus batch-duplicate losers (a dropped
 # claim re-offers itself on the next scan anyway)
 INSERT_ROUNDS = 2
 NUM_MATCH_POINTS = 5  # common_lib.h:22
 
+# legacy alias (probe depth == bucket width for sizing math elsewhere)
+MAX_PROBE = BUCKET
+
 
 class VoxelHashMap(NamedTuple):
-    fp: jnp.ndarray  # (C + MAX_PROBE,) int32 key fingerprint; 0 = empty
-    rec: jnp.ndarray  # (C + MAX_PROBE, 4) packed [x, y, z, cov]
-    voxel_size: jnp.ndarray  # () f32
+    tab: jnp.ndarray  # (B, BUCKET, 5) fused rows [fp, x, y, z, cov]
+    voxel_size: jnp.ndarray  # ()
     n_dropped: jnp.ndarray  # () int32 cumulative insert overflow drops
 
-    # convenience views (not pytree leaves)
+    # convenience views (not pytree leaves); batch-safe (leading axes of a
+    # stacked/vmapped map pass through)
     @property
     def capacity(self) -> int:
-        return self.fp.shape[0] - MAX_PROBE
+        return self.tab.shape[-3] * BUCKET
+
+    @property
+    def flat(self) -> jnp.ndarray:
+        return self.tab.reshape(*self.tab.shape[:-3], -1, 5)
+
+    @property
+    def fp(self) -> jnp.ndarray:
+        """Stored fingerprints as floats; 0.0 = empty slot."""
+        return self.flat[..., 0]
 
     @property
     def occupied(self) -> jnp.ndarray:
-        return self.fp != 0
+        return self.flat[..., 0] != 0
 
     @property
     def points(self) -> jnp.ndarray:
-        return self.rec[..., :3]
+        return self.flat[..., 1:4]
 
     @property
     def covs(self) -> jnp.ndarray:
-        return self.rec[..., 3]
+        return self.flat[..., 4]
 
 
 def create(capacity: int, voxel_size: float, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
-    T = capacity + MAX_PROBE
-    rec = jnp.zeros((T, 4), dtype).at[:, 3].set(jnp.inf)
+    assert capacity >= BUCKET
+    B = capacity // BUCKET
+    assert B >= 2
+    tab = jnp.zeros((B, BUCKET, 5), dtype).at[:, :, 4].set(jnp.inf)
     return VoxelHashMap(
-        fp=jnp.zeros((T,), jnp.int32),
-        rec=rec,
+        tab=tab,
         voxel_size=jnp.asarray(voxel_size, dtype),
         n_dropped=jnp.asarray(0, jnp.int32),
     )
@@ -97,30 +123,36 @@ def voxel_key(m: VoxelHashMap, pts):
     return jnp.floor(pts / m.voxel_size).astype(jnp.int32)
 
 
-def _hash(keys, capacity):
+def _hash(keys, num_buckets):
+    """Bucket index. The xor-of-products spatial hash clusters dense key
+    grids in its LOW bits; with only log2(B) bucket bits that caused 60%
+    insert drops on grid worlds. The murmur finalizer mixes all 32 bits
+    into the masked range."""
     h = (keys[..., 0] * _P1) ^ (keys[..., 1] * _P2) ^ (keys[..., 2] * _P3)
-    return h & jnp.int32(capacity - 1)
+    u = h.astype(jnp.uint32)
+    u = u ^ (u >> 16)
+    u = u * np.uint32(0x7FEB352D)
+    u = u ^ (u >> 15)
+    u = u * np.uint32(0x846CA68B)
+    u = u ^ (u >> 16)
+    return (u & np.uint32(num_buckets - 1)).astype(jnp.int32)
 
 
 def _fingerprint(keys):
-    """Nonzero 32-bit fingerprint of a voxel key (0 is reserved for empty).
+    """Nonzero 23-bit fingerprint of a voxel key (0 is reserved for
+    empty), exactly representable in f32 so it lives inside the fused
+    float bucket row.
 
-    Identity checks compare fingerprints instead of full keys — one word
-    per probe instead of 3 + occupancy.
-
-    Construction matters: the round-2 XOR-of-products scheme
-    (x*F1 ^ y*F2 ^ z*F3) collides STRUCTURALLY — each axis term cancels
-    independently, so one bad (x,z)/(x',z') value pair collides for EVERY
-    y (found in the wide-window recall test: cell (2,y,2) == (-2,y,-2)).
-    The additive combine is linear with constant per-Δ difference
-    (h(k+Δ)-h(k) = Δ·F mod 2^32), so keys within a search window (|Δ| <=
-    ~10 voxels) can only collide if Δ·F ≡ 0 — verified exhaustively false
-    for |Δ|inf <= 12 (tests/test_map.py::test_fingerprint_window_collision_free).
-    The murmur3 finalizer is a BIJECTION on uint32, adding avalanche
-    without creating new collisions. Far-away collisions (~2^-32,
-    unstructured) offer a far candidate that the distance top-k discards
-    (or, on insert, merge two voxels under the lowest-cov policy —
-    benign)."""
+    Construction (see round-2/3 history): additive linear combine (so
+    in-window key deltas have constant hash difference), then the murmur3
+    finalizer (a bijection on uint32) for avalanche, then the TOP 23 bits.
+    Truncation makes key->fp no longer injective per 32-bit block, so the
+    small-delta window-collision freedom is re-verified exhaustively for
+    |delta|_inf <= 12 in
+    tests/test_map.py::test_fingerprint_window_collision_free. Far
+    collisions (~2^-23 per pair) offer a far candidate that the distance
+    top-k discards (or, on insert, merge two voxels under the lowest-cov
+    policy — benign)."""
     h = keys[..., 0] * _F1 + keys[..., 1] * _F2 + keys[..., 2] * _F3
     u = h.astype(jnp.uint32)
     u = u ^ (u >> 16)
@@ -128,30 +160,52 @@ def _fingerprint(keys):
     u = u ^ (u >> 13)
     u = u * np.uint32(0xC2B2AE35)
     u = u ^ (u >> 16)
-    f = u.astype(jnp.int32)
+    f = (u >> 9).astype(jnp.int32)  # top 23 bits -> [0, 2^23)
     return jnp.where(f == 0, jnp.int32(1), f)
 
 
-def _probe_fp(m: VoxelHashMap, h):
-    """Fetch each probe window's fingerprints: (...,) start indices ->
-    (..., MAX_PROBE) i32 via one batched gather.
+def _pair_rows(m: VoxelHashMap, b):
+    """Fetch bucket pair (b, b+1) per key with ONE two-row slice-gather.
 
-    Expressed as a plain advanced-index gather rather than vmapped
-    dynamic_slice: both measure identically on the chip (~0.1 ms for 166k
-    windows), but the vmapped-slice form crashed the TPU worker when
-    composed under scan(vmap(step)) at B>=16 (round-2 debugging)."""
-    idx = h[..., None] + jnp.arange(MAX_PROBE, dtype=jnp.int32)
-    return m.fp[idx]
+    Returns (..., WINDOW, 5); 320 contiguous bytes per fetch at f32 — the
+    row-gather regime the microbenchmark showed runs at ~8-10 ns/fetch."""
+    bshape = b.shape
+    flatb = b.reshape(-1)[:, None]  # (N, 1) start indices
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0,),
+    )
+    out = jax.lax.gather(
+        m.tab,
+        flatb,
+        dn,
+        slice_sizes=(2, BUCKET, 5),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (N, 2, BUCKET, 5)
+    return out.reshape(*bshape, WINDOW, 5)
+
+
+def _bucket_match(m: VoxelHashMap, keys):
+    """Fetch each key's bucket-pair window and locate the key's slot.
+
+    Returns (rows (..., WINDOW, 5), b_start (...,), lane (...,),
+    found (...,)); absolute flat slot = b_start * BUCKET + lane."""
+    B = m.tab.shape[0]
+    b = jnp.minimum(_hash(keys, B), B - 2)
+    rows = _pair_rows(m, b)
+    want = _fingerprint(keys).astype(m.tab.dtype)
+    match = rows[..., 0] == want[..., None]
+    found = jnp.any(match, axis=-1)
+    lane = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    return rows, b, lane, found
 
 
 def lookup(m: VoxelHashMap, keys):
-    """Find the slot holding each key. Returns (slot (...,), found (...,))
-    with slot == 0 when not found (mask with `found`)."""
-    C = m.capacity
-    h = _hash(keys, C)
-    match = _probe_fp(m, h) == _fingerprint(keys)[..., None]
-    found = jnp.any(match, axis=-1)
-    slot = h + jnp.argmax(match, axis=-1).astype(jnp.int32)
+    """Find the flat slot holding each key. Returns (slot (...,),
+    found (...,)) with slot == 0 when not found (mask with `found`)."""
+    _, b, lane, found = _bucket_match(m, keys)
+    slot = b * BUCKET + lane
     return jnp.where(found, slot, 0), found
 
 
@@ -159,81 +213,91 @@ def insert(m: VoxelHashMap, pts, covs, mask, rounds: int = INSERT_ROUNDS) -> Vox
     """Insert a batch of world-frame points with stored covariances.
 
     Policy: a voxel keeps the lowest-covariance point offered to it
-    (ikd_Tree.cpp:504-522). Candidates whose voxel cell cannot be claimed
-    within INSERT_ROUNDS passes are dropped (overflow) and counted in
-    `n_dropped`."""
-    C = m.capacity
-    T = m.fp.shape[0]
-    DUMP = T - 1  # unreachable by any probe sequence (max slot = C+MAX_PROBE-2)
+    (ikd_Tree.cpp:504-522). Candidates whose bucket cannot take them
+    within `rounds` passes (or whose bucket is full) are dropped
+    (overflow) and counted in `n_dropped`."""
+    Brows = m.tab.shape[0]
+    T = Brows * BUCKET
     N = pts.shape[0]
-    dtype = m.rec.dtype
+    dtype = m.tab.dtype
     keys = voxel_key(m, pts)
-    want = _fingerprint(keys)
-    h = _hash(keys, C)
-    cand_rec = jnp.concatenate([pts.astype(dtype), covs.astype(dtype)[:, None]], -1)
+    want_i = _fingerprint(keys)
+    wantf = want_i.astype(dtype)
+    b = jnp.minimum(_hash(keys, Brows), Brows - 2)
+    cand_rec = jnp.concatenate(
+        [wantf[:, None], pts.astype(dtype), covs.astype(dtype)[:, None]], -1
+    )  # (N, 5)
     cand_id = jnp.arange(N, dtype=jnp.int32)
     pending = mask
+    # per-candidate lane rotation: same-window candidates prefer
+    # different empty lanes, so a batch of distinct keys resolves in the
+    # 2-round claim budget instead of serializing on lane 0
+    pref = want_i & jnp.int32(WINDOW - 1)
+    order = (jnp.arange(WINDOW, dtype=jnp.int32)[None, :] + pref[:, None]) % WINDOW
 
     def round_body(_, carry):
         m, pending = carry
-        probe_fp = _probe_fp(m, h)  # (N, P)
-        match = probe_fp == want[:, None]
+        flat = m.tab.reshape(T, 5)
+        rows = _pair_rows(m, b)  # (N, WINDOW, 5)
+        fps = rows[..., 0]
+        match = fps == wantf[:, None]
         found = jnp.any(match, axis=-1)
-        slot = h + jnp.argmax(match, axis=-1).astype(jnp.int32)
+        lane = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        slot = b * BUCKET + lane
 
-        # 1. match-first: update existing cells by scatter-min on covariance
+        # 1. match-first: update existing cells by scatter-min on
+        #    covariance; out-of-range target T drops (mode="drop")
         upd = pending & found
-        upd_slot = jnp.where(upd, slot, DUMP)
+        upd_slot = jnp.where(upd, slot, T)
         cov_pad = jnp.where(upd, covs, jnp.inf).astype(dtype)
-        cell_min = jnp.full((T,), jnp.inf, dtype).at[upd_slot].min(cov_pad)
-        improves = upd & (cov_pad <= cell_min[slot]) & (cov_pad < m.rec[slot, 3])
+        cell_min = (
+            jnp.full((T,), jnp.inf, dtype).at[upd_slot].min(cov_pad, mode="drop")
+        )
+        improves = upd & (cov_pad <= cell_min[slot]) & (cov_pad < flat[slot, 4])
         # resolve exact ties deterministically by candidate id
         tie_id = (
             jnp.full((T,), N, jnp.int32)
-            .at[jnp.where(improves, slot, DUMP)]
-            .min(cand_id)
+            .at[jnp.where(improves, slot, T)]
+            .min(cand_id, mode="drop")
         )
         winner = improves & (tie_id[slot] == cand_id)
-        w_slot = jnp.where(winner, slot, DUMP)
-        m = m._replace(rec=m.rec.at[w_slot].set(cand_rec))
+        w_slot = jnp.where(winner, slot, T)
+        flat = flat.at[w_slot].set(cand_rec, mode="drop")
         pending = pending & ~found  # matched candidates are done (win or lose)
 
-        # 2. claim the first empty probe slot for still-pending candidates;
-        #    scatter-min candidate id resolves races
-        empty = probe_fp == 0
-        has_empty = jnp.any(empty, axis=-1)
-        tgt = h + jnp.argmax(empty, axis=-1).astype(jnp.int32)
+        # 2. claim an empty lane in the pair window (rotation-first) for
+        #    still-pending candidates; scatter-min candidate id resolves
+        #    races
+        empty_rot = jnp.take_along_axis(fps == 0, order, axis=-1)
+        has_empty = jnp.any(empty_rot, axis=-1)
+        lane_pick = jnp.take_along_axis(
+            order, jnp.argmax(empty_rot, axis=-1)[:, None], axis=-1
+        )[:, 0]
+        tgt = b * BUCKET + lane_pick
         claim = pending & has_empty
-        c_slot = jnp.where(claim, tgt, DUMP)
-        claim_id = jnp.full((T,), N, jnp.int32).at[c_slot].min(cand_id)
-        winner = claim & (claim_id[tgt] == cand_id)
-        w_slot = jnp.where(winner, tgt, DUMP)
-        m = m._replace(
-            fp=m.fp.at[w_slot].set(want),
-            rec=m.rec.at[w_slot].set(cand_rec),
+        c_slot = jnp.where(claim, tgt, T)
+        claim_id = (
+            jnp.full((T,), N, jnp.int32).at[c_slot].min(cand_id, mode="drop")
         )
+        winner = claim & (claim_id[tgt] == cand_id)
+        w_slot = jnp.where(winner, tgt, T)
+        flat = flat.at[w_slot].set(cand_rec, mode="drop")
         pending = pending & ~winner
-        return m, pending
+        return m._replace(tab=flat.reshape(Brows, BUCKET, 5)), pending
 
     m, pending = jax.lax.fori_loop(0, rounds, round_body, (m, pending))
-    # scrub the dump row and account overflow
-    rec = m.rec.at[DUMP].set(jnp.zeros((4,), dtype).at[3].set(jnp.inf))
-    return m._replace(
-        fp=m.fp.at[DUMP].set(0),
-        rec=rec,
-        n_dropped=m.n_dropped + jnp.sum(pending).astype(jnp.int32),
-    )
+    return m._replace(n_dropped=m.n_dropped + jnp.sum(pending).astype(jnp.int32))
 
 
 def evict_outside(m: VoxelHashMap, box_min, box_max) -> VoxelHashMap:
     """Free all cells whose point lies outside [box_min, box_max] — the
     sliding-local-map eviction (laserMapping.cpp:171-224)."""
-    inside = jnp.all((m.points >= box_min) & (m.points <= box_max), axis=-1)
-    keep = m.occupied & inside
-    return m._replace(
-        fp=jnp.where(keep, m.fp, jnp.int32(0)),
-        rec=m.rec.at[:, 3].set(jnp.where(keep, m.rec[:, 3], jnp.inf)),
-    )
+    flat = m.flat
+    inside = jnp.all((flat[:, 1:4] >= box_min) & (flat[:, 1:4] <= box_max), -1)
+    keep = (flat[:, 0] != 0) & inside
+    flat = flat.at[:, 0].set(jnp.where(keep, flat[:, 0], 0.0))
+    flat = flat.at[:, 4].set(jnp.where(keep, flat[:, 4], jnp.inf))
+    return m._replace(tab=flat.reshape(m.tab.shape))
 
 
 def transform(m: VoxelHashMap, dq, dt) -> VoxelHashMap:
@@ -248,7 +312,7 @@ def transform(m: VoxelHashMap, dq, dt) -> VoxelHashMap:
     unresolvable collisions count into `n_dropped`."""
     from ..geometry import so3
 
-    fresh = create(m.capacity, 1.0, m.rec.dtype)._replace(
+    fresh = create(m.capacity, 1.0, m.tab.dtype)._replace(
         voxel_size=m.voxel_size, n_dropped=m.n_dropped
     )
     pts = so3.quat_rotate(dq[None], m.points) + dt
@@ -256,7 +320,7 @@ def transform(m: VoxelHashMap, dq, dt) -> VoxelHashMap:
     # a whole-map rehash offers every record at once: the incremental
     # 2-round claim budget (losers re-offer next scan) does not apply —
     # resolve collision chains fully so the rehash is lossless
-    return insert(fresh, pts, covs, m.occupied, rounds=MAX_PROBE)
+    return insert(fresh, pts, covs, m.occupied, rounds=WINDOW)
 
 
 def size(m: VoxelHashMap):
@@ -284,7 +348,7 @@ def _masked_take(m: VoxelHashMap, mask, max_results: int):
     """Compact up to max_results masked slots into fixed-shape arrays.
     Returns (pts (K,3), covs (K,), valid (K,), total) where `total` is the
     full match count (may exceed K — the caller sized the budget)."""
-    T = m.fp.shape[0]
+    T = m.capacity
     idx = jnp.nonzero(mask, size=max_results, fill_value=T - 1)[0]
     valid = jnp.arange(max_results) < jnp.sum(mask)
     return (
@@ -336,21 +400,17 @@ def _ball_offsets(radius: int) -> np.ndarray:
 def _knn_window(m: VoxelHashMap, queries, k: int, offs: np.ndarray):
     """k nearest stored points over a static voxel-offset window.
 
-    Cost shape: per query, V fingerprint slice-gathers (32 B contiguous
-    each) + V packed-record gathers (16 B each); all selection afterwards
-    is in-register VPU work."""
-    C = m.capacity
+    Cost shape: ONE fused bucket-row gather (40 contiguous floats) per
+    visited cell; fingerprint lane-compare, candidate select, and the
+    distance top-k are in-register VPU work."""
     offs = jnp.asarray(offs, jnp.int32)
     qkeys = voxel_key(m, queries)  # (Q, 3)
     nkeys = qkeys[:, None, :] + offs[None, :, :]  # (Q, V, 3)
-    h = _hash(nkeys, C)  # (Q, V)
-    match = _probe_fp(m, h) == _fingerprint(nkeys)[..., None]  # (Q, V, P)
-    found = jnp.any(match, axis=-1)  # (Q, V)
-    cell_slot = h + jnp.argmax(match, axis=-1).astype(jnp.int32)
+    rows, _, lane, found = _bucket_match(m, nkeys)  # rows (Q, V, BUCKET, 5)
 
-    cand = m.rec[cell_slot]  # (Q, V, 4) — the only random gather
-    cand_pts = cand[..., :3]
-    cand_cov = cand[..., 3]
+    cand = jnp.take_along_axis(rows, lane[..., None, None], axis=-2)[..., 0, :]
+    cand_pts = cand[..., 1:4]
+    cand_cov = cand[..., 4]
 
     diff = cand_pts - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
@@ -366,7 +426,8 @@ def _knn_window(m: VoxelHashMap, queries, k: int, offs: np.ndarray):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "radius", "wide_radius", "wide_budget")
+    jax.jit,
+    static_argnames=("k", "radius", "wide_radius", "wide_budget", "accept_k"),
 )
 def knn(
     m: VoxelHashMap,
@@ -377,6 +438,7 @@ def knn(
     wide_budget: int = 0,
     qmask=None,
     accept_d2=5.0,
+    accept_k: int | None = None,
 ):
     """Batched k-NN over the voxel neighborhood, with optional escalation.
 
@@ -392,16 +454,17 @@ def knn(
     the query, but the reference's exact tree search reaches to
     sqrt(accept_d2) ~ 2.24 m globally. With wide_radius > radius and
     wide_budget > 0, up to wide_budget queries that FAIL the acceptance
-    rule under the base window (< k found, or k-th d2 > accept_d2) are
-    re-searched over the statically ball-pruned wide window — one extra
-    fixed-shape gather pass over the few misses instead of a 125x cost on
-    every query. Choose wide_radius >= ceil(sqrt(accept_d2)/voxel_size)
-    (5 at the City 0.5 m voxel): every cell that can hold a point within
-    the acceptance ball is then visited, so escalated queries get their
-    EXACT nearest neighbors whenever the reference would accept them.
-    Escalations beyond wide_budget keep the base-window result (graceful
-    degradation; size the budget for the sparse-scene worst case).
-    qmask masks queries (padded lanes) out of the escalation budget.
+    rule under the base window (< accept_k found, or accept_k-th d2 >
+    accept_d2) are re-searched over the statically ball-pruned wide
+    window — one extra fixed-shape gather pass over the few misses
+    instead of a 125x cost on every query. Choose wide_radius >=
+    ceil(sqrt(accept_d2)/voxel_size) (5 at the City 0.5 m voxel): every
+    cell that can hold a point within the acceptance ball is then
+    visited, so escalated queries get their EXACT nearest neighbors
+    whenever the reference would accept them. Escalations beyond
+    wide_budget keep the base-window result (graceful degradation; size
+    the budget for the sparse-scene worst case). qmask masks queries
+    (padded lanes) out of the escalation budget.
     """
     nn_pts, nn_covs, nn_d2, nn_cnt = _knn_window(
         m, queries, k, _cube_offsets(radius)
@@ -411,6 +474,10 @@ def knn(
 
     Q = queries.shape[0]
     accept_d2 = jnp.asarray(accept_d2, nn_d2.dtype)
+    # acceptance may be judged on fewer than k neighbors (k > accept_k
+    # returns extra candidates for the caller's re-rank cache while the
+    # escalation trigger stays the reference's 5-NN rule)
+    ak = accept_k if accept_k is not None else k
 
     def escalate(res, offs, budget):
         """Re-search acceptance-rule failures over a wider static window
@@ -418,7 +485,7 @@ def knn(
         mode="drop" discards. Every escalation window is a superset of
         the previous one, so its rows replace outright."""
         pts, covs, d2, cnt = res
-        need = ~((cnt >= k) & (d2[:, k - 1] <= accept_d2))
+        need = ~((cnt >= ak) & (d2[:, ak - 1] <= accept_d2))
         if qmask is not None:
             need = need & qmask
         idx = jnp.nonzero(need, size=budget, fill_value=Q)[0]

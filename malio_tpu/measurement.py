@@ -22,6 +22,14 @@ from .map import voxel_hash as vh
 
 NUM_MATCH = vh.NUM_MATCH_POINTS  # 5
 NN_REJECT_D2 = 5.0  # laserMapping.cpp:587
+# candidate cache width: the gathering search keeps the CAND_K nearest map
+# points per query; in-loop re-searches re-rank this cache against the
+# updated pose instead of re-gathering (the pose moves mm-cm between IEKF
+# iterations, so the new 5-NN is inside the old 16-NN except for
+# vanishing boundary cases). This removes every gather from the IEKF loop
+# — which also makes the vmapped batched path cheap (under vmap both
+# lax.cond branches execute every iteration).
+CAND_K = 16
 
 
 class ScanData(NamedTuple):
@@ -44,7 +52,9 @@ class HShareCache(NamedTuple):
     """Per-round state that survives IEKF iterations. Plane parameters are
     cached at search time because they depend only on the map neighbors
     (the reference re-fits them every iteration with identical inputs —
-    hoisting is value-identical, laserMapping.cpp:596)."""
+    hoisting is value-identical, laserMapping.cpp:596). The cand_* fields
+    hold the CAND_K-nearest candidate cache filled by the single gathering
+    search (make_h_share); re-searches re-rank it."""
 
     normal: jnp.ndarray  # (M, 3) plane normals (world frame)
     d: jnp.ndarray  # (M,) plane offsets
@@ -55,6 +65,9 @@ class HShareCache(NamedTuple):
     normal_y: jnp.ndarray  # (M,) per-point covariance for map insertion
     nn_pts: jnp.ndarray  # (M, k, 3) last-search neighbors (map_incremental)
     nn_cnt: jnp.ndarray  # (M,) int32 neighbors found
+    cand_pts: jnp.ndarray  # (M, CAND_K, 3) candidate cache (world frame)
+    cand_covs: jnp.ndarray  # (M, CAND_K)
+    cand_valid: jnp.ndarray  # (M, CAND_K) bool
 
 
 def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
@@ -68,6 +81,9 @@ def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
         normal_y=jnp.zeros((M,), dtype),
         nn_pts=jnp.zeros((M, NUM_MATCH, 3), dtype),
         nn_cnt=jnp.zeros((M,), jnp.int32),
+        cand_pts=jnp.zeros((M, CAND_K, 3), dtype),
+        cand_covs=jnp.zeros((M, CAND_K), dtype),
+        cand_valid=jnp.zeros((M, CAND_K), bool),
     )
 
 
@@ -117,12 +133,74 @@ def _esti_plane(nn_pts, nn_covs, plane_th, cov_threshold):
     return normal, d, plane_valid, plane_cov
 
 
-def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
-    """Build the HShareFn closure for one fusion round.
+def _world_points(x: st.State, data: ScanData):
+    """Deskewed points -> world frame at state x: non-base points through
+    the temporal compensation into the base LiDAR frame, then IMU, then
+    world (laserMapping.cpp:563-572 + pointBodyToWorld)."""
+    p = data.pts_body
+    pl = data.pt_lidar
+    base = data.base
+    bq = x.ext_r[base]
+    bt = x.ext_t[base]
+    is_base = pl == base
+    p_nb = so3.quat_rotate_inv(
+        bq[None],
+        so3.quat_rotate(data.tc_q[pl], so3.quat_rotate(x.ext_r[pl], p) + x.ext_t[pl])
+        + data.tc_t[pl]
+        - bt[None],
+    )
+    p_base = jnp.where(is_base[:, None], p, p_nb)
+    p_imu = so3.quat_rotate(bq[None], p_base) + bt[None]
+    p_world = so3.quat_rotate(x.rot[None], p_imu) + x.pos[None]
+    return p_base, p_imu, p_world
 
-    Round-constant quantities (per-point uncertainty traces, which depend
-    only on the deskewed points and the epoch chains) are precomputed here,
-    outside the IEKF loop."""
+
+def _rank_and_fit(cfg, cand_pts, cand_covs, cand_valid, pt_mask, p_world, dtype):
+    """Top-NUM_MATCH neighbors + plane fits from the candidate cache at the
+    CURRENT pose — the re-search body. Gather-free: pure VPU ranking over
+    the cached CAND_K candidates."""
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    d2 = jnp.sum((cand_pts - p_world[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_valid, d2, big)
+    neg_top, idx = jax.lax.top_k(-d2, NUM_MATCH)
+    nn_d2 = -neg_top
+    nn_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
+    nn_covs = jnp.take_along_axis(cand_covs, idx, axis=1)
+    nn_cnt = jnp.sum(nn_d2 < big, axis=-1).astype(jnp.int32)
+    searched = (
+        pt_mask
+        & (nn_cnt >= NUM_MATCH)
+        & (nn_d2[:, NUM_MATCH - 1] <= NN_REJECT_D2)
+    )
+    # absent neighbors carry stored cov +inf -> zero them (see the search
+    # docstring in make_h_share)
+    nn_covs = jnp.where(
+        jnp.arange(NUM_MATCH)[None, :] < nn_cnt[:, None], nn_covs, 0.0
+    )
+    normal, d, plane_valid, plane_cov = jax.vmap(
+        _esti_plane, in_axes=(0, 0, None, None)
+    )(
+        nn_pts,
+        nn_covs,
+        jnp.asarray(cfg.plane_th, dtype),
+        jnp.asarray(cfg.cov_threshold, dtype),
+    )
+    return (normal, d, plane_valid, plane_cov, searched, nn_pts, nn_cnt)
+
+
+def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
+    """Build the HShareFn closure for one fusion round, plus the initial
+    cache holding the ONE gathering correspondence search of the round.
+
+    Round-constant quantities (per-point uncertainty traces; the k-NN
+    candidate cache, gathered at the propagated state x0) are computed
+    here, outside the IEKF loop. In-loop re-searches re-rank the cached
+    CAND_K candidates against the updated pose — gather-free, so the
+    loop's cost no longer depends on how often the reference re-searches
+    (and the vmapped batched path stops paying gathers every iteration).
+    Divergence from the reference's exact per-iteration tree re-search is
+    bounded by the candidate cache (new 5-NN outside the old 16-NN) and
+    measured by the chained oracle (tests/test_chained_oracle.py)."""
     L = data.tc_q.shape[0]
     act = 6 * (L + 1)
     dtype = data.pts_body.dtype
@@ -145,6 +223,39 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
         q=data.unc_q[pl, e_un], t=data.unc_t[pl, e_un], cov=data.unc_cov[pl, e_un]
     )
     r_trace_un = unc.point_uncertainty_trace(p, pose_u)
+
+    # --- the round's single gathering search (at x0) ---
+    _, _, p_world0 = _world_points(x0, data)
+    c_pts, c_covs, c_d2, c_cnt = vh.knn(
+        map_state,
+        p_world0,
+        k=CAND_K,
+        radius=cfg.knn_radius,
+        wide_radius=cfg.knn_wide_radius,
+        wide_budget=cfg.knn_wide_budget,
+        qmask=data.pt_mask,
+        accept_d2=NN_REJECT_D2,
+        accept_k=NUM_MATCH,
+    )
+    cand_valid = jnp.arange(CAND_K)[None, :] < c_cnt[:, None]
+    cand_covs = jnp.where(cand_valid, c_covs, 0.0)
+    (normal0, d0, plane_valid0, plane_cov0, searched0, nn_pts0, nn_cnt0) = (
+        _rank_and_fit(cfg, c_pts, cand_covs, cand_valid, data.pt_mask, p_world0, dtype)
+    )
+    cache0 = HShareCache(
+        normal=normal0,
+        d=d0,
+        plane_cov=plane_cov0,
+        plane_valid=plane_valid0,
+        searched=searched0,
+        selected=searched0,
+        normal_y=jnp.zeros((M,), dtype),
+        nn_pts=nn_pts0,
+        nn_cnt=nn_cnt0,
+        cand_pts=c_pts,
+        cand_covs=cand_covs,
+        cand_valid=cand_valid,
+    )
 
     def h_share(x: st.State, search: jnp.ndarray, cache: HShareCache):
         base = data.base
@@ -169,47 +280,19 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
         p_imu = so3.quat_rotate(bq[None], p_base) + bt[None]
         p_world = so3.quat_rotate(x.rot[None], p_imu) + x.pos[None]
 
-        # --- correspondence search + plane fit (gated like
-        # dyn_share.converge; planes depend only on the neighbors, so they
-        # are cached with the search) ---
+        # --- correspondence re-search (gated like dyn_share.converge):
+        # re-ranks the candidate cache at the updated pose — gather-free,
+        # so both-branch execution under vmap costs only VPU work ---
         def do_search(_):
-            nn_pts, nn_covs, nn_d2, nn_cnt = vh.knn(
-                map_state,
-                p_world,
-                k=NUM_MATCH,
-                radius=cfg.knn_radius,
-                wide_radius=cfg.knn_wide_radius,
-                wide_budget=cfg.knn_wide_budget,
-                qmask=data.pt_mask,
-                accept_d2=NN_REJECT_D2,
-            )
-            # absent neighbors gather empty-slot records whose stored cov
-            # is +inf; left in place they turn the plane-quality value NaN
-            # ((cov_th - inf)/inf in _esti_plane) and — once any OTHER row
-            # is selected with span > 0 — the NaN rides w_plane into the
-            # localization eigensolve and wipes every H row. Rows without
-            # 5 real neighbors are masked by `searched`, so zeroing is
-            # unobservable (the reference only fits planes with 5 real
-            # neighbors, laserMapping.cpp:587-596).
-            nn_covs = jnp.where(
-                jnp.arange(NUM_MATCH)[None, :] < nn_cnt[:, None], nn_covs, 0.0
-            )
-            searched = (
-                data.pt_mask
-                & (nn_cnt >= NUM_MATCH)
-                & (nn_d2[:, NUM_MATCH - 1] <= NN_REJECT_D2)
-            )
-            normal, d, plane_valid, plane_cov = jax.vmap(
-                _esti_plane, in_axes=(0, 0, None, None)
-            )(
-                nn_pts,
-                nn_covs,
-                jnp.asarray(cfg.plane_th, dtype),
-                jnp.asarray(cfg.cov_threshold, dtype),
+            (normal, d, plane_valid, plane_cov, searched, nn_pts, nn_cnt) = (
+                _rank_and_fit(
+                    cfg, cache.cand_pts, cache.cand_covs, cache.cand_valid,
+                    data.pt_mask, p_world, dtype,
+                )
             )
             return (
                 normal, d, plane_valid, plane_cov, searched, searched,
-                nn_pts, nn_cnt.astype(jnp.int32),
+                nn_pts, nn_cnt,
             )
 
         def reuse(_):
@@ -328,8 +411,11 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData):
             normal_y=normal_y,
             nn_pts=nn_pts,
             nn_cnt=nn_cnt,
+            cand_pts=cache.cand_pts,
+            cand_covs=cache.cand_covs,
+            cand_valid=cache.cand_valid,
         )
         res = HShareResult(valid=valid, h=hw, H=Hw, R=R_eff, mask=selected)
         return res, new_cache
 
-    return h_share
+    return h_share, cache0

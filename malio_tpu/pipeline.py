@@ -235,8 +235,10 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
     )
 
     # ---- iterated update (only once the map exists) ----
-    h_share = meas.make_h_share(cfg, map_state, scan_data)
-    cache0 = meas.init_cache(M, dtype)
+    # make_h_share performs the round's single gathering k-NN search (at
+    # the propagated state) and returns the prefilled candidate cache;
+    # the IEKF loop's re-searches re-rank it gather-free
+    h_share, cache0 = meas.make_h_share(cfg, map_state, scan_data, und.x)
 
     def do_update(_):
         return esekf.update_iterated(

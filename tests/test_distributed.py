@@ -90,8 +90,8 @@ def test_sharded_distinct_sequences_with_sharded_map():
         new_carries, out = step(carries_s, g)
 
     # the map must actually be sharded over mp
-    T_slots = new_carries.map.fp.shape[-1]
-    shard_rows = new_carries.map.fp.addressable_shards[0].data.shape[-1]
+    T_slots = new_carries.map.tab.shape[-3]  # bucket rows
+    shard_rows = new_carries.map.tab.addressable_shards[0].data.shape[-3]
     assert shard_rows <= (T_slots + 1) // 2, (shard_rows, T_slots)
 
     for b in range(B):
@@ -105,6 +105,6 @@ def test_sharded_distinct_sequences_with_sharded_map():
         assert int(out.map_size[b]) == int(ref_out.map_size), b
         # sharded-map contents equal the single-device map (set equality
         # over occupied records; slot layout is identical by construction)
-        ref_rec = np.asarray(ref_carry.map.rec)
-        got_rec = np.asarray(new_carries.map.rec[b])
+        ref_rec = np.asarray(ref_carry.map.tab)
+        got_rec = np.asarray(new_carries.map.tab[b])
         np.testing.assert_allclose(got_rec, ref_rec, atol=1e-9)

@@ -97,8 +97,7 @@ def _setup_scene(L=1, M=64, cov_threshold=0.5):
 def test_h_share_selects_planar_points_and_weights():
     cfg, m, data = _setup_scene()
     x = st.identity_state(1, jnp.float64)
-    h_share = meas.make_h_share(cfg, m, data)
-    cache = meas.init_cache(data.pts_body.shape[0], jnp.float64)
+    h_share, cache = meas.make_h_share(cfg, m, data, x)
     res, cache = h_share(x, jnp.asarray(True), cache)
     assert bool(res.valid)
     sel = np.asarray(res.mask)
@@ -124,8 +123,7 @@ def test_h_share_localization_weight_degenerate_floor():
     localize_cov_min (laserMapping.cpp:744-756)."""
     cfg, m, data = _setup_scene()
     x = st.identity_state(1, jnp.float64)
-    h_share = meas.make_h_share(cfg, m, data)
-    cache = meas.init_cache(data.pts_body.shape[0], jnp.float64)
+    h_share, cache = meas.make_h_share(cfg, m, data, x)
     res, _ = h_share(x, jnp.asarray(True), cache)
     sel = np.asarray(res.mask)
     # reconstruct the unweighted rows: norms of H[:, :3] per row equal

@@ -537,7 +537,7 @@ def _h_share_scenario(M=48, seed=11, spread=8.0):
         unc_cov=jnp.asarray(unc_cov),
         epoch_count=jnp.full((L,), E, jnp.int32),
     )
-    h_share = meas_mod.make_h_share(cfg, m, sd)
+    h_share, cache0 = meas_mod.make_h_share(cfg, m, sd, x)
 
     pose_unc = [
         [
@@ -550,7 +550,8 @@ def _h_share_scenario(M=48, seed=11, spread=8.0):
     tcomp = [RPose(tc_q[L - 1 - num], tc_t[L - 1 - num]) for num in range(1, L)]
     return dict(
         cfg=cfg, ocfg=ocfg, M=M, x=x, rstate=rstate, m=m, sd=sd,
-        h_share=h_share, map_pts=map_pts, map_covs=map_covs, world=world,
+        h_share=h_share, cache0=cache0, map_pts=map_pts, map_covs=map_covs,
+        world=world,
         pose_unc=pose_unc, tcomp=tcomp, pt_phys=pt_phys, pt_epoch=pt_epoch,
         pts_body=pts_body,
     )
@@ -585,7 +586,7 @@ def test_h_share_matches_reference_oracle():
     x, rstate, h_share = sc["x"], sc["rstate"], sc["h_share"]
     pts_body, pt_phys, pt_epoch = sc["pts_body"], sc["pt_phys"], sc["pt_epoch"]
     tcomp, pose_unc = sc["tcomp"], sc["pose_unc"]
-    cache = meas_mod.init_cache(M, jnp.float64)
+    cache = sc["cache0"]
 
     # oracle inputs: IDENTICAL neighbor sets, pulled from malio's search
     res1, cache1 = h_share(x, jnp.asarray(True), cache)
@@ -923,7 +924,7 @@ def test_update_iterated_matches_reference_oracle():
     P0 = A @ A.T + np.eye(n) * 5e-3
 
     # malio
-    cache0 = meas_mod.init_cache(M, jnp.float64)
+    cache0 = sc["cache0"]
     res = esekf.update_iterated(
         x_start, jnp.asarray(P0), h_share, cache0,
         max_iter=cfg.max_iteration, limit=cfg.converge_limit,
