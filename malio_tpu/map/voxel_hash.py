@@ -165,25 +165,19 @@ def _fingerprint(keys):
 
 
 def _pair_rows(m: VoxelHashMap, b):
-    """Fetch bucket pair (b, b+1) per key with ONE two-row slice-gather.
+    """Fetch the bucket-pair window per key as ONE fast row gather.
 
-    Returns (..., WINDOW, 5); 320 contiguous bytes per fetch at f32 — the
-    row-gather regime the microbenchmark showed runs at ~8-10 ns/fetch."""
-    bshape = b.shape
-    flatb = b.reshape(-1)[:, None]  # (N, 1) start indices
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
-        collapsed_slice_dims=(),
-        start_index_map=(0,),
-    )
-    out = jax.lax.gather(
-        m.tab,
-        flatb,
-        dn,
-        slice_sizes=(2, BUCKET, 5),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (N, 2, BUCKET, 5)
-    return out.reshape(*bshape, WINDOW, 5)
+    An explicit lax.gather with slice_sizes=(2, BUCKET, 5) lowers to a
+    slow per-index path (~us/row measured); instead the paired view
+    concat(tab[:-1], tab[1:]) is materialized with one cheap sequential
+    pass (2x table bytes, ~0.1 ms at 1<<21 slots) and then indexed with
+    plain advanced indexing — the (row, 320 B) gather pattern the
+    microbenchmark showed runs at ~10 ns/fetch. XLA CSEs the view across
+    multiple windows in one jit.
+
+    Returns (..., WINDOW, 5); b must be pre-clamped to <= B-2."""
+    paired = jnp.concatenate([m.tab[:-1], m.tab[1:]], axis=1)
+    return paired[b]
 
 
 def _bucket_match(m: VoxelHashMap, keys):
