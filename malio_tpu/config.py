@@ -45,8 +45,11 @@ class Config:
     # init); "config" uses gyr_cov/acc_cov above directly
     converge_limit: float = 0.001  # esekfom.hpp:162
     laser_point_cov: float = 0.001  # laserMapping.cpp:38 (LASER_POINT_COV)
-    single_search: bool = False  # True: k-NN only on the first IEKF
-    # iteration (speed mode; reference re-searches after convergence)
+    single_search: bool = False  # True: rank/fit neighbors only on the
+    # first IEKF iteration. Since the round-3 candidate-cache redesign the
+    # gathering k-NN runs ONCE per round regardless; re-searches are a
+    # cheap cache re-rank, so this flag now saves little and costs
+    # reference parity (0.133 m on the chained oracle) — keep it off.
     pallas_deskew: bool = False  # True: fused Pallas spline-deskew kernel
     # (TPU; interpret-mode on CPU) instead of the jnp path
 

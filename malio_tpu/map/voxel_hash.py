@@ -391,32 +391,84 @@ def _ball_offsets(radius: int) -> np.ndarray:
     return offs[(gap * gap).sum(-1) <= radius * radius]
 
 
+# far sentinel voxel offset used to pad the offset list to a chunk
+# multiple: its cells are real buckets, but a candidate can only surface
+# there through a fingerprint collision (~2^-23) AND by out-ranking true
+# neighbors on distance — the same benign far-collision case as always.
+_PAD_OFF = (1 << 20, 1 << 20, 1 << 20)
+_WINDOW_CHUNK = 64  # cells per scanned chunk; caps live candidate bytes
+
+
+def _window_candidates(m: VoxelHashMap, queries, offs):
+    """Candidate (pts, covs, d2) for one static offset chunk."""
+    qkeys = voxel_key(m, queries)  # (Q, 3)
+    nkeys = qkeys[:, None, :] + offs[None, :, :]  # (Q, V, 3)
+    rows, _, lane, found = _bucket_match(m, nkeys)  # (Q, V, WINDOW, 5)
+    cand = jnp.take_along_axis(rows, lane[..., None, None], axis=-2)[..., 0, :]
+    cand_pts = cand[..., 1:4]
+    cand_cov = cand[..., 4]
+    diff = cand_pts - queries[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    d2 = jnp.where(found, d2, big)
+    return cand_pts, cand_cov, d2
+
+
 def _knn_window(m: VoxelHashMap, queries, k: int, offs: np.ndarray):
     """k nearest stored points over a static voxel-offset window.
 
     Cost shape: ONE fused bucket-row gather (40 contiguous floats) per
     visited cell; fingerprint lane-compare, candidate select, and the
-    distance top-k are in-register VPU work."""
-    offs = jnp.asarray(offs, jnp.int32)
-    qkeys = voxel_key(m, queries)  # (Q, 3)
-    nkeys = qkeys[:, None, :] + offs[None, :, :]  # (Q, V, 3)
-    rows, _, lane, found = _bucket_match(m, nkeys)  # rows (Q, V, BUCKET, 5)
+    distance top-k are in-register VPU work. Wide windows are processed
+    in _WINDOW_CHUNK-cell pieces with a running top-k merge: the
+    (Q, V, WINDOW, 5) candidate tensor at V ~ 900 cells is ~300 MB and
+    overflows the TPU kernel's scoped vmem if materialized whole."""
+    offs = np.asarray(offs)
+    V = offs.shape[0]
+    big = None
 
-    cand = jnp.take_along_axis(rows, lane[..., None, None], axis=-2)[..., 0, :]
-    cand_pts = cand[..., 1:4]
-    cand_cov = cand[..., 4]
+    def finish(cand_pts, cand_cov, d2):
+        bigv = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        nn_d2 = -neg_top
+        nn_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
+        nn_covs = jnp.take_along_axis(cand_cov, idx, axis=1)
+        nn_cnt = jnp.sum(nn_d2 < bigv, axis=-1)
+        return nn_pts, nn_covs, nn_d2, nn_cnt
 
-    diff = cand_pts - queries[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
-    d2 = jnp.where(found, d2, big)
+    if V <= _WINDOW_CHUNK:
+        return finish(*_window_candidates(m, queries, jnp.asarray(offs, jnp.int32)))
 
-    neg_top, idx = jax.lax.top_k(-d2, k)
-    nn_d2 = -neg_top
-    nn_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
-    nn_covs = jnp.take_along_axis(cand_cov, idx, axis=1)
-    nn_cnt = jnp.sum(nn_d2 < big, axis=-1)
-    return nn_pts, nn_covs, nn_d2, nn_cnt
+    nchunks = -(-V // _WINDOW_CHUNK)
+    pad = nchunks * _WINDOW_CHUNK - V
+    offs_p = np.concatenate([offs, np.tile(_PAD_OFF, (pad, 1))]).astype(np.int32)
+    offs_c = jnp.asarray(offs_p.reshape(nchunks, _WINDOW_CHUNK, 3))
+
+    Q = queries.shape[0]
+    dtype = m.tab.dtype
+    bigv = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    init = (
+        jnp.zeros((Q, k, 3), dtype),
+        jnp.zeros((Q, k), dtype),
+        jnp.full((Q, k), bigv, dtype),
+    )
+
+    def body(carry, oc):
+        b_pts, b_covs, b_d2 = carry
+        c_pts, c_covs, c_d2 = _window_candidates(m, queries, oc)
+        all_pts = jnp.concatenate([b_pts, c_pts], axis=1)
+        all_covs = jnp.concatenate([b_covs, c_covs], axis=1)
+        all_d2 = jnp.concatenate([b_d2, c_d2], axis=1)
+        neg_top, idx = jax.lax.top_k(-all_d2, k)
+        return (
+            jnp.take_along_axis(all_pts, idx[..., None], axis=1),
+            jnp.take_along_axis(all_covs, idx, axis=1),
+            -neg_top,
+        ), None
+
+    (b_pts, b_covs, b_d2), _ = jax.lax.scan(body, init, offs_c)
+    nn_cnt = jnp.sum(b_d2 < bigv, axis=-1)
+    return b_pts, b_covs, b_d2, nn_cnt
 
 
 @functools.partial(
