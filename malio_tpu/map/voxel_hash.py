@@ -231,7 +231,13 @@ def insert(m: VoxelHashMap, pts, covs, mask, rounds: int = INSERT_ROUNDS) -> Vox
 
     def round_body(_, carry):
         m, pending = carry
-        flat = m.tab.reshape(T, 5)
+        # dead scatter lanes target the padded dump row T (in-bounds);
+        # mode="drop" with out-of-range targets triggered a sort-based
+        # scatter expander on the TPU whose scratch blew the kernel's
+        # scoped vmem at 1<<21 slots
+        flat = jnp.concatenate(
+            [m.tab.reshape(T, 5), jnp.zeros((1, 5), dtype)], axis=0
+        )
         rows = _pair_rows(m, b)  # (N, WINDOW, 5)
         fps = rows[..., 0]
         match = fps == wantf[:, None]
@@ -239,24 +245,21 @@ def insert(m: VoxelHashMap, pts, covs, mask, rounds: int = INSERT_ROUNDS) -> Vox
         lane = jnp.argmax(match, axis=-1).astype(jnp.int32)
         slot = b * BUCKET + lane
 
-        # 1. match-first: update existing cells by scatter-min on
-        #    covariance; out-of-range target T drops (mode="drop")
+        # 1. match-first: update existing cells by scatter-min on covariance
         upd = pending & found
         upd_slot = jnp.where(upd, slot, T)
         cov_pad = jnp.where(upd, covs, jnp.inf).astype(dtype)
-        cell_min = (
-            jnp.full((T,), jnp.inf, dtype).at[upd_slot].min(cov_pad, mode="drop")
-        )
+        cell_min = jnp.full((T + 1,), jnp.inf, dtype).at[upd_slot].min(cov_pad)
         improves = upd & (cov_pad <= cell_min[slot]) & (cov_pad < flat[slot, 4])
         # resolve exact ties deterministically by candidate id
         tie_id = (
-            jnp.full((T,), N, jnp.int32)
+            jnp.full((T + 1,), N, jnp.int32)
             .at[jnp.where(improves, slot, T)]
-            .min(cand_id, mode="drop")
+            .min(cand_id)
         )
         winner = improves & (tie_id[slot] == cand_id)
         w_slot = jnp.where(winner, slot, T)
-        flat = flat.at[w_slot].set(cand_rec, mode="drop")
+        flat = flat.at[w_slot].set(cand_rec)
         pending = pending & ~found  # matched candidates are done (win or lose)
 
         # 2. claim an empty lane in the pair window (rotation-first) for
@@ -270,14 +273,12 @@ def insert(m: VoxelHashMap, pts, covs, mask, rounds: int = INSERT_ROUNDS) -> Vox
         tgt = b * BUCKET + lane_pick
         claim = pending & has_empty
         c_slot = jnp.where(claim, tgt, T)
-        claim_id = (
-            jnp.full((T,), N, jnp.int32).at[c_slot].min(cand_id, mode="drop")
-        )
+        claim_id = jnp.full((T + 1,), N, jnp.int32).at[c_slot].min(cand_id)
         winner = claim & (claim_id[tgt] == cand_id)
         w_slot = jnp.where(winner, tgt, T)
-        flat = flat.at[w_slot].set(cand_rec, mode="drop")
+        flat = flat.at[w_slot].set(cand_rec)
         pending = pending & ~winner
-        return m._replace(tab=flat.reshape(Brows, BUCKET, 5)), pending
+        return m._replace(tab=flat[:T].reshape(Brows, BUCKET, 5)), pending
 
     m, pending = jax.lax.fori_loop(0, rounds, round_body, (m, pending))
     return m._replace(n_dropped=m.n_dropped + jnp.sum(pending).astype(jnp.int32))
