@@ -213,13 +213,28 @@ def _run_benchmark(cfg, seqs, dtype, chunk, warmup, passes):
     # full chunks only: the benchmark scans each chunk as ONE dispatch
     n_rounds -= n_rounds % chunk
     carry0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
-    vscan = jax.jit(
-        lambda c, gs: jax.lax.scan(
-            lambda cc, g: jax.vmap(lambda c1, g1: pipeline.step(cfg, c1, g1))(cc, g),
-            c,
-            gs,
+    if chunk == 1:
+        # per-round async dispatch: the scan-wrapped flagship step trips
+        # an XLA scoped-vmem overflow in a sort lowering at 1<<21 slots
+        # (the identical un-scanned step compiles); dispatches pipeline
+        # on the device, so the pass-end host fetch still measures
+        # sustained device throughput
+        vstep = jax.jit(
+            lambda c, g: jax.vmap(lambda c1, g1: pipeline.step(cfg, c1, g1))(c, g)
         )
-    )
+
+        def vscan(c, gs):
+            g1 = jax.tree_util.tree_map(lambda a: a[0], gs)
+            c2, o = vstep(c, g1)
+            return c2, jax.tree_util.tree_map(lambda a: a[None], o)
+    else:
+        vscan = jax.jit(
+            lambda c, gs: jax.lax.scan(
+                lambda cc, g: jax.vmap(lambda c1, g1: pipeline.step(cfg, c1, g1))(cc, g),
+                c,
+                gs,
+            )
+        )
     chunks = _stack_batched_chunks(
         streams, bases, n_rounds, chunk, np.dtype(np.float32)
     )
@@ -259,7 +274,7 @@ def synthetic_batched_benchmark(
 
 
 def flagship_benchmark(
-    batch=16, duration=6.0, points_per_lidar=4096, passes=3, chunk=8,
+    batch=16, duration=6.0, points_per_lidar=4096, passes=3, chunk=1,
     warmup=8, map_slots=None, single_search=False, dtype=None,
 ):
     """City config-3 flagship-shape benchmark: 3 LiDARs (City extrinsics),
