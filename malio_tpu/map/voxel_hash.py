@@ -10,39 +10,44 @@ Policy parity with the reference (not a port of its pointer machinery):
   * box eviction replaces lasermap_fov_segment + Delete_Point_Boxes
     (laserMapping.cpp:171-224): cells outside the sliding local-map box are
     freed in one masked pass — no background rebuild thread is needed
-    because insert/evict are O(1) data-parallel scatters;
+    because insert/evict are O(1) data-parallel passes;
   * k-NN returns the k nearest stored points with their covariances,
-    searched over the (2r+1)^3 voxel neighborhood of the query.
+    searched over a voxel neighborhood that provably covers the reference
+    tree search's reach (with the wide escalation, see `knn`).
 
-Storage layout (round-3 bucket redesign, driven by a gather
-microbenchmark on the chip): the v5e fetches a CONTIGUOUS table row of up
-to ~256 B in ~8-10 ns regardless of width, but a (Q, 8)-shaped
-scalar-window gather costs ~58 ns and the round-2 two-gather probe
-(fingerprint window + matched record) ~64 ns per cell. So the table is an
-array of ALIGNED BUCKETS:
+Storage layout (round-4 SUPERVOXEL redesign, driven by honest on-chip
+microbenchmarks — see benchmarks/RESULTS.md round 4):
 
-  * `tab` has shape (B + 1, BUCKET, 5); bucket row b is 40 contiguous
-    floats holding BUCKET slots of [fp, x, y, z, cov] — fingerprint and
-    record FUSED;
-  * a voxel key hashes (murmur-remixed, so dense key grids spread over
-    ALL hash bits, not just the low ones) to bucket b and may occupy any
-    of the 2*BUCKET slots of the aligned pair starting at
-    b_start = min(b, B-2) — fetched with ONE two-row slice-gather (320 B
-    contiguous). The clamp keeps the row count a power of two (the mp
-    shard axis divides it); the last two hash buckets simply share a
-    window. Identification is a fingerprint lane-compare — pure VPU work
-    on the fetched rows. A full 16-slot window drops the candidate
-    (counted in `n_dropped`); claims prefer a fingerprint-derived lane
-    rotation so same-batch candidates hitting one window contend rarely;
-  * fingerprints are 23-bit (nonzero) so they are EXACT in any float
-    dtype >= f32 — the fused row stays one homogeneous float array
-    (bitcasting f32 patterns through an f64 test table would
-    canonicalize NaN payloads). Window-collision freedom of the 23-bit
-    fingerprint is checked exhaustively in tests/test_map.py.
+  * `tab` has shape (R, SLOTS, 5); row r is SLOTS contiguous slots of
+    [fp, x, y, z, cov] — fingerprint and record fused. A row is keyed by
+    a SUPERVOXEL: a 2x2x2 block of map voxels (key >> 1). Because the map
+    stores at most one point per voxel, one supervoxel contributes at
+    most 8 records, so a 16-slot row holds ~2 full supervoxels — hash
+    collisions between supervoxels share a row gracefully instead of
+    overflowing it;
+  * the payoff is the k-NN fetch count: the (2r+1)^3-cell neighborhood of
+    a query is covered by at most (r+1)^3 supervoxels, so the radius-1
+    base search fetches 8 rows per query instead of the round-3 design's
+    27 bucket-pair windows (54 rows) — measured 2.8 ms vs 11.5 ms for
+    12k queries on the v5e;
+  * searches need NO fingerprint identification at all: every stored
+    record carries its true world coordinates, so a hash-collided row
+    contributes candidates that the distance top-k rejects naturally (a
+    spatially close collided record is a real nearby map point — keeping
+    it only helps recall). Fingerprints (23-bit, exact in f32, of the
+    VOXEL key) exist for insert only: they identify which slot already
+    holds a record for a given voxel;
+  * insert is ONE sort + ONE uniquely-indexed scatter (no claim-round
+    loop): candidates sort by (row, voxel-fp, cov), the first of each
+    voxel group is its lowest-covariance winner, winners claim distinct
+    empty lanes by in-row rank, and every write targets a unique slot so
+    the scatter compiles to the fast unique path. The round-3 design's
+    multi-round scatter cascade cost 35+ ms at 2^21 slots because XLA
+    lowers non-unique scatters through a table-sized sort expander.
 
-All operations are jit-safe, vmap-based, fixed-shape. `tab.reshape(T, 5)`
-is the free flat struct view used by scatters and full-table passes
-(row-major (B, BUCKET, 5) is bit-identical to (T, 5)).
+All operations are jit-safe, fixed-shape. `tab.reshape(T, 5)` is the free
+flat struct view used by full-table passes (row-major (R, SLOTS, 5) is
+bit-identical to (T, 5)).
 """
 from __future__ import annotations
 
@@ -57,24 +62,21 @@ import jax.numpy as jnp
 _P1 = np.int32(73856093)
 _P2 = np.int32(19349663)
 _P3 = np.int32(83492791)
-# independent primes for the fingerprint fast path
+# independent primes for the fingerprint
 _F1 = np.int32(1540483477)
 _F2 = np.int32(1274126177)
 _F3 = np.int32(868864169)
 
-BUCKET = 8  # slots per bucket row
-WINDOW = 2 * BUCKET  # slots reachable per key (aligned bucket pair)
-# two rounds resolve all matches plus batch-duplicate losers (a dropped
-# claim re-offers itself on the next scan anyway)
-INSERT_ROUNDS = 2
+SLOTS = 16  # slots per supervoxel row (~2 full supervoxels)
 NUM_MATCH_POINTS = 5  # common_lib.h:22
 
-# legacy alias (probe depth == bucket width for sizing math elsewhere)
-MAX_PROBE = BUCKET
+# legacy aliases (kept for external sizing math/comments)
+BUCKET = SLOTS
+MAX_PROBE = SLOTS
 
 
 class VoxelHashMap(NamedTuple):
-    tab: jnp.ndarray  # (B, BUCKET, 5) fused rows [fp, x, y, z, cov]
+    tab: jnp.ndarray  # (R, SLOTS, 5) fused rows [fp, x, y, z, cov]
     voxel_size: jnp.ndarray  # ()
     n_dropped: jnp.ndarray  # () int32 cumulative insert overflow drops
 
@@ -82,7 +84,7 @@ class VoxelHashMap(NamedTuple):
     # stacked/vmapped map pass through)
     @property
     def capacity(self) -> int:
-        return self.tab.shape[-3] * BUCKET
+        return self.tab.shape[-3] * SLOTS
 
     @property
     def flat(self) -> jnp.ndarray:
@@ -108,10 +110,9 @@ class VoxelHashMap(NamedTuple):
 
 def create(capacity: int, voxel_size: float, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
-    assert capacity >= BUCKET
-    B = capacity // BUCKET
-    assert B >= 2
-    tab = jnp.zeros((B, BUCKET, 5), dtype).at[:, :, 4].set(jnp.inf)
+    assert capacity >= SLOTS
+    R = capacity // SLOTS
+    tab = jnp.zeros((R, SLOTS, 5), dtype).at[:, :, 4].set(jnp.inf)
     return VoxelHashMap(
         tab=tab,
         voxel_size=jnp.asarray(voxel_size, dtype),
@@ -123,36 +124,44 @@ def voxel_key(m: VoxelHashMap, pts):
     return jnp.floor(pts / m.voxel_size).astype(jnp.int32)
 
 
-def _hash(keys, num_buckets):
-    """Bucket index. The xor-of-products spatial hash clusters dense key
-    grids in its LOW bits; with only log2(B) bucket bits that caused 60%
-    insert drops on grid worlds. The murmur finalizer mixes all 32 bits
-    into the masked range."""
-    h = (keys[..., 0] * _P1) ^ (keys[..., 1] * _P2) ^ (keys[..., 2] * _P3)
+def _svx(keys):
+    """Supervoxel key of a voxel key: floor(k / 2) per axis (arithmetic
+    shift — jnp.right_shift on signed int32 is arithmetic, so negatives
+    floor correctly)."""
+    return keys >> 1
+
+
+def _hash(svx_keys, num_rows):
+    """Row index of a supervoxel key. The xor-of-products spatial hash
+    clusters dense key grids in its LOW bits; the murmur finalizer mixes
+    all 32 bits into the masked range."""
+    h = (
+        (svx_keys[..., 0] * _P1)
+        ^ (svx_keys[..., 1] * _P2)
+        ^ (svx_keys[..., 2] * _P3)
+    )
     u = h.astype(jnp.uint32)
     u = u ^ (u >> 16)
     u = u * np.uint32(0x7FEB352D)
     u = u ^ (u >> 15)
     u = u * np.uint32(0x846CA68B)
     u = u ^ (u >> 16)
-    return (u & np.uint32(num_buckets - 1)).astype(jnp.int32)
+    return (u & np.uint32(num_rows - 1)).astype(jnp.int32)
 
 
 def _fingerprint(keys):
-    """Nonzero 23-bit fingerprint of a voxel key (0 is reserved for
+    """Nonzero 23-bit fingerprint of a VOXEL key (0 is reserved for
     empty), exactly representable in f32 so it lives inside the fused
-    float bucket row.
+    float row. Insert-only: it identifies which slot of a supervoxel row
+    already holds a given voxel (searches identify by distance on the
+    stored coordinates instead).
 
-    Construction (see round-2/3 history): additive linear combine (so
-    in-window key deltas have constant hash difference), then the murmur3
-    finalizer (a bijection on uint32) for avalanche, then the TOP 23 bits.
-    Truncation makes key->fp no longer injective per 32-bit block, so the
-    small-delta window-collision freedom is re-verified exhaustively for
-    |delta|_inf <= 12 in
-    tests/test_map.py::test_fingerprint_window_collision_free. Far
-    collisions (~2^-23 per pair) offer a far candidate that the distance
-    top-k discards (or, on insert, merge two voxels under the lowest-cov
-    policy — benign)."""
+    Construction: additive linear combine, murmur3 finalizer (a bijection
+    on uint32), then the TOP 23 bits. Truncation makes key->fp
+    probabilistic (~2^-23 collision per pair); a row-local collision
+    merges two voxels under the lowest-covariance policy — benign. The
+    8 sibling voxels of one supervoxel are verified collision-free over a
+    sampled key grid in tests/test_map.py."""
     h = keys[..., 0] * _F1 + keys[..., 1] * _F2 + keys[..., 2] * _F3
     u = h.astype(jnp.uint32)
     u = u ^ (u >> 16)
@@ -164,124 +173,115 @@ def _fingerprint(keys):
     return jnp.where(f == 0, jnp.int32(1), f)
 
 
-def _pair_rows(m: VoxelHashMap, b):
-    """Fetch the bucket-pair window per key as ONE fast row gather.
-
-    An explicit lax.gather with slice_sizes=(2, BUCKET, 5) lowers to a
-    slow per-index path (~us/row measured); instead the paired view
-    concat(tab[:-1], tab[1:]) is materialized with one cheap sequential
-    pass (2x table bytes, ~0.1 ms at 1<<21 slots) and then indexed with
-    plain advanced indexing — the (row, 320 B) gather pattern the
-    microbenchmark showed runs at ~10 ns/fetch. XLA CSEs the view across
-    multiple windows in one jit.
-
-    Returns (..., WINDOW, 5); b must be pre-clamped to <= B-2."""
-    paired = jnp.concatenate([m.tab[:-1], m.tab[1:]], axis=1)
-    return paired[b]
-
-
-def _bucket_match(m: VoxelHashMap, keys):
-    """Fetch each key's bucket-pair window and locate the key's slot.
-
-    Returns (rows (..., WINDOW, 5), b_start (...,), lane (...,),
-    found (...,)); absolute flat slot = b_start * BUCKET + lane."""
-    B = m.tab.shape[0]
-    b = jnp.minimum(_hash(keys, B), B - 2)
-    rows = _pair_rows(m, b)
+def lookup(m: VoxelHashMap, keys):
+    """Find the flat slot holding each voxel key. Returns (slot (...,),
+    found (...,)) with slot == 0 when not found (mask with `found`)."""
+    R = m.tab.shape[0]
+    b = _hash(_svx(keys), R)
+    rows = m.tab[b]  # (..., SLOTS, 5)
     want = _fingerprint(keys).astype(m.tab.dtype)
     match = rows[..., 0] == want[..., None]
     found = jnp.any(match, axis=-1)
     lane = jnp.argmax(match, axis=-1).astype(jnp.int32)
-    return rows, b, lane, found
-
-
-def lookup(m: VoxelHashMap, keys):
-    """Find the flat slot holding each key. Returns (slot (...,),
-    found (...,)) with slot == 0 when not found (mask with `found`)."""
-    _, b, lane, found = _bucket_match(m, keys)
-    slot = b * BUCKET + lane
+    slot = b * SLOTS + lane
     return jnp.where(found, slot, 0), found
 
 
-def insert(m: VoxelHashMap, pts, covs, mask, rounds: int = INSERT_ROUNDS) -> VoxelHashMap:
-    """Insert a batch of world-frame points with stored covariances.
+def _segment_rank(seg_start, member):
+    """Rank of each `member` lane among members of its segment (segments
+    delimited by seg_start flags over a sorted axis). Pure cumsum/cummax."""
+    memi = member.astype(jnp.int32)
+    exc = jnp.cumsum(memi) - memi  # exclusive prefix count of members
+    base = jax.lax.cummax(jnp.where(seg_start, exc, -1))
+    return exc - base
 
-    Policy: a voxel keeps the lowest-covariance point offered to it
-    (ikd_Tree.cpp:504-522). Candidates whose bucket cannot take them
-    within `rounds` passes (or whose bucket is full) are dropped
-    (overflow) and counted in `n_dropped`."""
-    Brows = m.tab.shape[0]
-    T = Brows * BUCKET
+
+def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
+    """Insert a batch of world-frame points with stored covariances in ONE
+    sorted pass + ONE uniquely-indexed scatter.
+
+    Policy (ikd_Tree.cpp:504-522): a voxel keeps the lowest-covariance
+    point offered to it. Within the batch, candidates dedup by voxel
+    (lowest covariance wins, ties by batch order via the stable sort);
+    new voxels claim distinct empty lanes of their supervoxel row; a full
+    row drops the candidate (counted in `n_dropped`)."""
+    R = m.tab.shape[0]
+    T = R * SLOTS
     N = pts.shape[0]
     dtype = m.tab.dtype
     keys = voxel_key(m, pts)
-    want_i = _fingerprint(keys)
-    wantf = want_i.astype(dtype)
-    b = jnp.minimum(_hash(keys, Brows), Brows - 2)
-    cand_rec = jnp.concatenate(
-        [wantf[:, None], pts.astype(dtype), covs.astype(dtype)[:, None]], -1
+    fp = _fingerprint(keys)
+    b = jnp.where(mask, _hash(_svx(keys), R), R)  # masked lanes -> sentinel row
+    covf = jnp.where(mask, covs, jnp.inf).astype(dtype)
+
+    # sort by (row, voxel, cov): voxel groups become contiguous with their
+    # lowest-covariance candidate first; masked lanes sort to the tail
+    b_s, fp_s, cov_s, idx_s = jax.lax.sort(
+        (b, fp, covf, jnp.arange(N, dtype=jnp.int32)), num_keys=3
+    )
+    pts_s = pts.astype(dtype)[idx_s]
+    live = b_s < R
+    rec_s = jnp.concatenate(
+        [fp_s.astype(dtype)[:, None], pts_s, cov_s[:, None]], axis=-1
     )  # (N, 5)
-    cand_id = jnp.arange(N, dtype=jnp.int32)
-    pending = mask
-    # per-candidate lane rotation: same-window candidates prefer
-    # different empty lanes, so a batch of distinct keys resolves in the
-    # 2-round claim budget instead of serializing on lane 0
-    pref = want_i & jnp.int32(WINDOW - 1)
-    order = (jnp.arange(WINDOW, dtype=jnp.int32)[None, :] + pref[:, None]) % WINDOW
 
-    def round_body(_, carry):
-        m, pending = carry
-        # dead scatter lanes target the padded dump row T (in-bounds);
-        # mode="drop" with out-of-range targets triggered a sort-based
-        # scatter expander on the TPU whose scratch blew the kernel's
-        # scoped vmem at 1<<21 slots
-        flat = jnp.concatenate(
-            [m.tab.reshape(T, 5), jnp.zeros((1, 5), dtype)], axis=0
-        )
-        rows = _pair_rows(m, b)  # (N, WINDOW, 5)
-        fps = rows[..., 0]
-        match = fps == wantf[:, None]
-        found = jnp.any(match, axis=-1)
-        lane = jnp.argmax(match, axis=-1).astype(jnp.int32)
-        slot = b * BUCKET + lane
+    prev_b = jnp.concatenate([jnp.full((1,), -1, b_s.dtype), b_s[:-1]])
+    prev_fp = jnp.concatenate([jnp.full((1,), -1, fp_s.dtype), fp_s[:-1]])
+    row_start = b_s != prev_b
+    vox_first = live & (row_start | (fp_s != prev_fp))
 
-        # 1. match-first: update existing cells by scatter-min on covariance
-        upd = pending & found
-        upd_slot = jnp.where(upd, slot, T)
-        cov_pad = jnp.where(upd, covs, jnp.inf).astype(dtype)
-        cell_min = jnp.full((T + 1,), jnp.inf, dtype).at[upd_slot].min(cov_pad)
-        improves = upd & (cov_pad <= cell_min[slot]) & (cov_pad < flat[slot, 4])
-        # resolve exact ties deterministically by candidate id
-        tie_id = (
-            jnp.full((T + 1,), N, jnp.int32)
-            .at[jnp.where(improves, slot, T)]
-            .min(cand_id)
-        )
-        winner = improves & (tie_id[slot] == cand_id)
-        w_slot = jnp.where(winner, slot, T)
-        flat = flat.at[w_slot].set(cand_rec)
-        pending = pending & ~found  # matched candidates are done (win or lose)
+    # one row gather for match detection (adjacent lanes share rows)
+    rows = m.tab[jnp.minimum(b_s, R - 1)]  # (N, SLOTS, 5)
+    fps = rows[..., 0]
+    match = fps == fp_s.astype(dtype)[:, None]
+    found = jnp.any(match, axis=-1)
+    mlane = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    stored_cov = jnp.take_along_axis(rows[..., 4], mlane[:, None], axis=-1)[:, 0]
 
-        # 2. claim an empty lane in the pair window (rotation-first) for
-        #    still-pending candidates; scatter-min candidate id resolves
-        #    races
-        empty_rot = jnp.take_along_axis(fps == 0, order, axis=-1)
-        has_empty = jnp.any(empty_rot, axis=-1)
-        lane_pick = jnp.take_along_axis(
-            order, jnp.argmax(empty_rot, axis=-1)[:, None], axis=-1
-        )[:, 0]
-        tgt = b * BUCKET + lane_pick
-        claim = pending & has_empty
-        c_slot = jnp.where(claim, tgt, T)
-        claim_id = jnp.full((T + 1,), N, jnp.int32).at[c_slot].min(cand_id)
-        winner = claim & (claim_id[tgt] == cand_id)
-        w_slot = jnp.where(winner, tgt, T)
-        flat = flat.at[w_slot].set(cand_rec)
-        pending = pending & ~winner
-        return m._replace(tab=flat[:T].reshape(Brows, BUCKET, 5)), pending
+    # case A: voxel already stored -> overwrite iff strictly better
+    upd = vox_first & found & (cov_s < stored_cov)
 
-    m, pending = jax.lax.fori_loop(0, rounds, round_body, (m, pending))
-    return m._replace(n_dropped=m.n_dropped + jnp.sum(pending).astype(jnp.int32))
+    # case B: new voxel -> rank-th empty lane of the row
+    claimer = vox_first & ~found
+    rank = _segment_rank(row_start, claimer)
+    empty = fps == 0
+    n_empty = jnp.sum(empty, axis=-1)
+    csum = jnp.cumsum(empty.astype(jnp.int32), axis=-1)
+    clane = jnp.argmax((csum == (rank + 1)[:, None]) & empty, axis=-1).astype(
+        jnp.int32
+    )
+    fits = claimer & (rank < n_empty)
+
+    # case C: full row, bounded evict-replace — the FIRST over-rank
+    # claimer may displace the row's highest-covariance record if it is
+    # strictly better. The map policy prefers low covariance anyway
+    # (ikd_Tree.cpp:504-522); this turns a persistent blind spot (a full
+    # row rejecting a good point forever) into "the row keeps its best
+    # SLOTS records". Guarded to rows with no matched writer this batch so
+    # every scatter target stays unique.
+    over = claimer & (rank >= n_empty)
+    occ_cov = jnp.where(empty, -jnp.inf, rows[..., 4])
+    vlane = jnp.argmax(occ_cov, axis=-1).astype(jnp.int32)
+    vcov = jnp.max(occ_cov, axis=-1)
+    seg_id = jnp.cumsum(row_start.astype(jnp.int32)) - 1
+    row_upd = jax.ops.segment_sum(
+        upd.astype(jnp.int32), seg_id, num_segments=N
+    )[seg_id]
+    evict = over & (rank == n_empty) & (cov_s < vcov) & (row_upd == 0)
+
+    writes = upd | fits | evict
+    lane = jnp.where(upd, mlane, jnp.where(evict, vlane, clane))
+    slot = b_s * SLOTS + lane
+    # dead lanes target unique padded dump rows so the scatter keeps the
+    # unique-indices fast path (non-unique scatters lower through a
+    # table-sized sort expander on TPU — the round-3 insert's 35+ ms)
+    tgt = jnp.where(writes, slot, T + jnp.arange(N, dtype=jnp.int32))
+    flat = jnp.concatenate([m.tab.reshape(T, 5), jnp.zeros((N, 5), dtype)], axis=0)
+    flat = flat.at[tgt].set(rec_s, unique_indices=True)
+    dropped = jnp.sum(over & ~evict).astype(jnp.int32)
+    return m._replace(
+        tab=flat[:T].reshape(R, SLOTS, 5), n_dropped=m.n_dropped + dropped
+    )
 
 
 def evict_outside(m: VoxelHashMap, box_min, box_max) -> VoxelHashMap:
@@ -304,7 +304,7 @@ def transform(m: VoxelHashMap, dq, dt) -> VoxelHashMap:
     Stored covariances ride along unchanged (`normal_y` is a scalar
     quality, not frame-dependent). Points that collide into one voxel
     after the transform resolve by the usual lowest-covariance policy;
-    unresolvable collisions count into `n_dropped`."""
+    a full target row counts into `n_dropped`."""
     from ..geometry import so3
 
     fresh = create(m.capacity, 1.0, m.tab.dtype)._replace(
@@ -312,10 +312,7 @@ def transform(m: VoxelHashMap, dq, dt) -> VoxelHashMap:
     )
     pts = so3.quat_rotate(dq[None], m.points) + dt
     covs = jnp.where(m.occupied, m.covs, jnp.inf)
-    # a whole-map rehash offers every record at once: the incremental
-    # 2-round claim budget (losers re-offer next scan) does not apply —
-    # resolve collision chains fully so the rehash is lossless
-    return insert(fresh, pts, covs, m.occupied, rounds=WINDOW)
+    return insert(fresh, pts, covs, m.occupied)
 
 
 def size(m: VoxelHashMap):
@@ -374,62 +371,95 @@ def radius_search(m: VoxelHashMap, center, radius, max_results: int = 1024):
     return _masked_take(m, m.occupied & (d2 <= radius * radius), max_results)
 
 
-def _cube_offsets(radius: int) -> np.ndarray:
-    d = np.arange(-radius, radius + 1)
-    return np.stack(np.meshgrid(d, d, d, indexing="ij"), -1).reshape(-1, 3)
+@functools.lru_cache(maxsize=None)
+def _svx_ball_offsets(radius: int) -> np.ndarray:
+    """Static supervoxel offsets, relative to the anchor supervoxel
+    a = (v - radius) >> 1 of a query voxel v, that can contain a map cell
+    within `radius` voxels of v (ball pruning, both parities of v).
+
+    Derivation: v = 2a + radius + eps with eps in {0, 1}; the supervoxel
+    at offset o covers cells c with c - v in {2o - radius - eps,
+    2o - radius - eps + 1} per axis. Points in cells |delta| apart are at
+    least (|delta| - 1) voxels apart per axis (the same bound as the
+    reference tree's bounding-box pruning, ikd_Tree.cpp:1073-1255), so an
+    offset is kept iff for SOME parity the summed squared per-axis gaps
+    are within radius^2 — a provably sufficient superset for every
+    query parity."""
+    span = radius + 1  # floor((v+r)/2) - floor((v-r)/2) <= r, plus 1
+    d = np.arange(span)
+    offs = np.stack(np.meshgrid(d, d, d, indexing="ij"), -1).reshape(-1, 3)
+    keep = []
+    for o in offs:
+        ok = False
+        for eps in ((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                    (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)):
+            gap2 = 0.0
+            for ax in range(3):
+                deltas = [2 * o[ax] - radius - eps[ax],
+                          2 * o[ax] - radius - eps[ax] + 1]
+                m = min(abs(v) for v in deltas)
+                g = max(m - 1, 0)
+                gap2 += g * g
+            if gap2 <= radius * radius:
+                ok = True
+                break
+        if ok:
+            keep.append(o)
+    return np.asarray(keep, np.int32)
 
 
-def _ball_offsets(radius: int) -> np.ndarray:
-    """Cells whose minimum distance to the query cell is <= radius voxels.
-
-    A point in the query cell and a point in cell offset o are at least
-    max(|o|-1, 0) voxels apart per axis, so cube corners beyond the
-    Euclidean reach are provably irrelevant and pruned statically (~32%
-    of the (2r+1)^3 cube at r=5) — the array-program analog of the
-    ikd-tree's bounding-box pruning (ikd_Tree.cpp:1073-1255)."""
-    offs = _cube_offsets(radius)
-    gap = np.maximum(np.abs(offs) - 1, 0)
-    return offs[(gap * gap).sum(-1) <= radius * radius]
+_WINDOW_CHUNK = 64  # supervoxel rows per scanned chunk: caps the live
+# candidate tensor (budget 1024 x 64 x SLOTS x 5 f32 ~ 21 MB) while
+# keeping the sequential chunk count low (the scan's serialized gather
+# rounds dominated the wide escalation at chunk 16)
 
 
-# far sentinel voxel offset used to pad the offset list to a chunk
-# multiple: its cells are real buckets, but a candidate can only surface
-# there through a fingerprint collision (~2^-23) AND by out-ranking true
-# neighbors on distance — the same benign far-collision case as always.
-_PAD_OFF = (1 << 20, 1 << 20, 1 << 20)
-_WINDOW_CHUNK = 64  # cells per scanned chunk; caps live candidate bytes
+def _knn_window(m: VoxelHashMap, queries, k: int, radius: int):
+    """k nearest stored points over the supervoxel window of `radius`
+    voxels: anchor (v - radius) >> 1 plus the static ball-pruned offsets.
 
-
-def _window_candidates(m: VoxelHashMap, queries, offs):
-    """Candidate (pts, covs, d2) for one static offset chunk."""
-    qkeys = voxel_key(m, queries)  # (Q, 3)
-    nkeys = qkeys[:, None, :] + offs[None, :, :]  # (Q, V, 3)
-    rows, _, lane, found = _bucket_match(m, nkeys)  # (Q, V, WINDOW, 5)
-    cand = jnp.take_along_axis(rows, lane[..., None, None], axis=-2)[..., 0, :]
-    cand_pts = cand[..., 1:4]
-    cand_cov = cand[..., 4]
-    diff = cand_pts - queries[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
-    d2 = jnp.where(found, d2, big)
-    return cand_pts, cand_cov, d2
-
-
-def _knn_window(m: VoxelHashMap, queries, k: int, offs: np.ndarray):
-    """k nearest stored points over a static voxel-offset window.
-
-    Cost shape: ONE fused bucket-row gather (40 contiguous floats) per
-    visited cell; fingerprint lane-compare, candidate select, and the
-    distance top-k are in-register VPU work. Wide windows are processed
-    in _WINDOW_CHUNK-cell pieces with a running top-k merge: the
-    (Q, V, WINDOW, 5) candidate tensor at V ~ 900 cells is ~300 MB and
-    overflows the TPU kernel's scoped vmem if materialized whole."""
-    offs = np.asarray(offs)
+    Cost shape: ONE contiguous row gather per visited supervoxel (SLOTS*5
+    floats); masking, distance, and the top-k are in-register VPU work.
+    Windows beyond _WINDOW_CHUNK rows stream in chunks with a running
+    top-k merge so the candidate tensor stays small. Duplicate rows from
+    hash-collided supervoxels inside one window are suppressed (a
+    duplicated point could corrupt the 5-point plane fit)."""
+    queries = queries.astype(m.tab.dtype)
+    offs = _svx_ball_offsets(radius)
     V = offs.shape[0]
-    big = None
+    R = m.tab.shape[0]
+    Q = queries.shape[0]
+    dtype = m.tab.dtype
+    bigv = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    qk = voxel_key(m, queries)
+    anchors = _svx(qk - radius)  # (Q, 3)
+    b_all = _hash(
+        anchors[:, None, :] + jnp.asarray(offs)[None, :, :], R
+    )  # (Q, V)
+    # duplicate-row suppression: offset j is dead if an earlier offset
+    # hashed to the same row
+    dup = jnp.zeros((Q, V), bool)
+    if V > 1:
+        eq = b_all[:, :, None] == b_all[:, None, :]  # (Q, V, V)
+        tri = jnp.asarray(np.tril(np.ones((V, V), bool), -1))
+        dup = jnp.any(eq & tri[None], axis=-1)
+    alive = ~dup
+
+    def chunk_candidates(b_c, alive_c):
+        rows = m.tab[b_c]  # (Q, C, SLOTS, 5)
+        occ = (rows[..., 0] != 0) & alive_c[..., None]
+        cpts = rows[..., 1:4]
+        d2 = jnp.sum((cpts - queries[:, None, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(occ, d2, bigv)
+        C = b_c.shape[1]
+        return (
+            cpts.reshape(Q, C * SLOTS, 3),
+            rows[..., 4].reshape(Q, C * SLOTS),
+            d2.reshape(Q, C * SLOTS),
+        )
 
     def finish(cand_pts, cand_cov, d2):
-        bigv = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
         neg_top, idx = jax.lax.top_k(-d2, k)
         nn_d2 = -neg_top
         nn_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
@@ -438,25 +468,25 @@ def _knn_window(m: VoxelHashMap, queries, k: int, offs: np.ndarray):
         return nn_pts, nn_covs, nn_d2, nn_cnt
 
     if V <= _WINDOW_CHUNK:
-        return finish(*_window_candidates(m, queries, jnp.asarray(offs, jnp.int32)))
+        return finish(*chunk_candidates(b_all, alive))
 
     nchunks = -(-V // _WINDOW_CHUNK)
-    pad = nchunks * _WINDOW_CHUNK - V
-    offs_p = np.concatenate([offs, np.tile(_PAD_OFF, (pad, 1))]).astype(np.int32)
-    offs_c = jnp.asarray(offs_p.reshape(nchunks, _WINDOW_CHUNK, 3))
+    chunk = -(-V // nchunks)  # balanced chunks minimize padded gathers
+    pad = nchunks * chunk - V
+    b_p = jnp.concatenate([b_all, jnp.zeros((Q, pad), jnp.int32)], axis=1)
+    alive_p = jnp.concatenate([alive, jnp.zeros((Q, pad), bool)], axis=1)
+    b_c = jnp.moveaxis(b_p.reshape(Q, nchunks, chunk), 1, 0)
+    alive_c = jnp.moveaxis(alive_p.reshape(Q, nchunks, chunk), 1, 0)
 
-    Q = queries.shape[0]
-    dtype = m.tab.dtype
-    bigv = jnp.asarray(jnp.finfo(dtype).max, dtype)
     init = (
         jnp.zeros((Q, k, 3), dtype),
         jnp.zeros((Q, k), dtype),
         jnp.full((Q, k), bigv, dtype),
     )
 
-    def body(carry, oc):
+    def body(carry, bc_ac):
         b_pts, b_covs, b_d2 = carry
-        c_pts, c_covs, c_d2 = _window_candidates(m, queries, oc)
+        c_pts, c_covs, c_d2 = chunk_candidates(*bc_ac)
         all_pts = jnp.concatenate([b_pts, c_pts], axis=1)
         all_covs = jnp.concatenate([b_covs, c_covs], axis=1)
         all_d2 = jnp.concatenate([b_d2, c_d2], axis=1)
@@ -467,7 +497,7 @@ def _knn_window(m: VoxelHashMap, queries, k: int, offs: np.ndarray):
             -neg_top,
         ), None
 
-    (b_pts, b_covs, b_d2), _ = jax.lax.scan(body, init, offs_c)
+    (b_pts, b_covs, b_d2), _ = jax.lax.scan(body, init, (b_c, alive_c))
     nn_cnt = jnp.sum(b_d2 < bigv, axis=-1)
     return b_pts, b_covs, b_d2, nn_cnt
 
@@ -491,63 +521,53 @@ def knn(
 
     queries: (Q, 3) world points. Returns:
       nn_pts  (Q, k, 3), nn_covs (Q, k), nn_d2 (Q, k)  sorted ascending,
-      nn_cnt  (Q,) number of real neighbors found (<= k).
+      nn_cnt  (Q,) number of real neighbors found (<= k),
+      n_miss  () int32: queries (within qmask) that FAIL the acceptance
+              rule after the whole search — the honest escalation-demand
+              signal used to size wide_budget from data.
 
     Replaces ikd-tree Nearest_Search (ikd_Tree.cpp:1073-1255); the caller
     applies the reference's acceptance rule (found >= 5 and 5th dist^2 <=
     accept_d2 = 5, laserMapping.cpp:587).
 
-    Reach semantics: the base (2*radius+1)^3 window sees ~1 voxel around
-    the query, but the reference's exact tree search reaches to
+    Reach semantics: the base search covers every cell within `radius`
+    voxels of the query (and opportunistically more — supervoxel rows
+    cover 2x2x2 cells), but the reference's exact tree search reaches to
     sqrt(accept_d2) ~ 2.24 m globally. With wide_radius > radius and
     wide_budget > 0, up to wide_budget queries that FAIL the acceptance
-    rule under the base window (< accept_k found, or accept_k-th d2 >
-    accept_d2) are re-searched over the statically ball-pruned wide
-    window — one extra fixed-shape gather pass over the few misses
-    instead of a 125x cost on every query. Choose wide_radius >=
-    ceil(sqrt(accept_d2)/voxel_size) (5 at the City 0.5 m voxel): every
-    cell that can hold a point within the acceptance ball is then
-    visited, so escalated queries get their EXACT nearest neighbors
-    whenever the reference would accept them. Escalations beyond
-    wide_budget keep the base-window result (graceful degradation; size
-    the budget for the sparse-scene worst case). qmask masks queries
-    (padded lanes) out of the escalation budget.
-    """
-    nn_pts, nn_covs, nn_d2, nn_cnt = _knn_window(
-        m, queries, k, _cube_offsets(radius)
-    )
-    if wide_budget <= 0 or wide_radius <= radius:
-        return nn_pts, nn_covs, nn_d2, nn_cnt
-
-    Q = queries.shape[0]
-    accept_d2 = jnp.asarray(accept_d2, nn_d2.dtype)
-    # acceptance may be judged on fewer than k neighbors (k > accept_k
-    # returns extra candidates for the caller's re-rank cache while the
-    # escalation trigger stays the reference's 5-NN rule)
+    rule under the base window are re-searched over the ball-pruned wide
+    supervoxel window — one extra fixed-shape gather pass over the few
+    misses. Choose wide_radius >= ceil(sqrt(accept_d2)/voxel_size) (5 at
+    the City 0.5 m voxel): every cell that can hold a point within the
+    acceptance ball is then visited, so escalated queries get their EXACT
+    nearest neighbors whenever the reference would accept them.
+    Escalations beyond wide_budget keep the base-window result (graceful
+    degradation; size the budget from the measured n_miss rate). qmask
+    masks queries (padded lanes) out of the escalation budget."""
+    queries = queries.astype(m.tab.dtype)
+    nn_pts, nn_covs, nn_d2, nn_cnt = _knn_window(m, queries, k, radius)
     ak = accept_k if accept_k is not None else k
+    accept_d2 = jnp.asarray(accept_d2, nn_d2.dtype)
 
-    def escalate(res, offs, budget):
-        """Re-search acceptance-rule failures over a wider static window
-        and splice the results back; dead lanes scatter to row Q, which
-        mode="drop" discards. Every escalation window is a superset of
-        the previous one, so its rows replace outright."""
+    def misses(res):
         pts, covs, d2, cnt = res
         need = ~((cnt >= ak) & (d2[:, ak - 1] <= accept_d2))
         if qmask is not None:
             need = need & qmask
-        idx = jnp.nonzero(need, size=budget, fill_value=Q)[0]
-        live = idx < Q
-        safe = jnp.minimum(idx, Q - 1)
-        w = _knn_window(m, queries[safe], k, offs)
-        tgt = jnp.where(live, safe, Q)
-        return tuple(
-            base.at[tgt].set(wide, mode="drop") for base, wide in zip(res, w)
-        )
+        return need
 
     res = (nn_pts, nn_covs, nn_d2, nn_cnt)
-    # single stage: a cheaper intermediate window cannot FINALIZE a query
-    # without breaking the exactness contract (an escalated query must see
-    # the full sqrt(accept_d2) ball, tests/test_map.py tunnel recall), and
-    # with fixed shapes a non-finalizing stage saves nothing — the final
-    # window still pays its full static budget.
-    return escalate(res, _ball_offsets(wide_radius), wide_budget)
+    if wide_budget <= 0 or wide_radius <= radius:
+        return (*res, jnp.sum(misses(res)).astype(jnp.int32))
+
+    Q = queries.shape[0]
+    need = misses(res)
+    idx = jnp.nonzero(need, size=wide_budget, fill_value=Q)[0]
+    live = idx < Q
+    safe = jnp.minimum(idx, Q - 1)
+    w = _knn_window(m, queries[safe], k, wide_radius)
+    tgt = jnp.where(live, safe, Q)
+    res = tuple(
+        base.at[tgt].set(wide, mode="drop") for base, wide in zip(res, w)
+    )
+    return (*res, jnp.sum(misses(res)).astype(jnp.int32))

@@ -68,6 +68,8 @@ class HShareCache(NamedTuple):
     cand_pts: jnp.ndarray  # (M, CAND_K, 3) candidate cache (world frame)
     cand_covs: jnp.ndarray  # (M, CAND_K)
     cand_valid: jnp.ndarray  # (M, CAND_K) bool
+    n_miss: jnp.ndarray  # () int32 acceptance-rule misses of the round's
+    # gathering search (the wide-escalation demand signal, voxel_hash.knn)
 
 
 def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
@@ -84,6 +86,7 @@ def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
         cand_pts=jnp.zeros((M, CAND_K, 3), dtype),
         cand_covs=jnp.zeros((M, CAND_K), dtype),
         cand_valid=jnp.zeros((M, CAND_K), bool),
+        n_miss=jnp.zeros((), jnp.int32),
     )
 
 
@@ -226,7 +229,7 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
 
     # --- the round's single gathering search (at x0) ---
     _, _, p_world0 = _world_points(x0, data)
-    c_pts, c_covs, c_d2, c_cnt = vh.knn(
+    c_pts, c_covs, c_d2, c_cnt, n_miss = vh.knn(
         map_state,
         p_world0,
         k=CAND_K,
@@ -255,6 +258,7 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
         cand_pts=c_pts,
         cand_covs=cand_covs,
         cand_valid=cand_valid,
+        n_miss=n_miss,
     )
 
     def h_share(x: st.State, search: jnp.ndarray, cache: HShareCache):
@@ -414,6 +418,7 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
             cand_pts=cache.cand_pts,
             cand_covs=cache.cand_covs,
             cand_valid=cache.cand_valid,
+            n_miss=cache.n_miss,
         )
         res = HShareResult(valid=valid, h=hw, H=Hw, R=R_eff, mask=selected)
         return res, new_cache

@@ -108,15 +108,22 @@ class MetricsLogger:
 
 
 def _materialize_one(out):
-    """Fetch one array leaf to host — the only trustworthy execution fence
-    through the remote-TPU relay (block_until_ready can return before the
-    remote execution retires, inflating rates ~100x; a host value cannot
-    lie). The device executes its stream in order, so fetching any leaf of
-    the LAST call waits for every queued call before it."""
+    """Fetch ONE TINY SLICE of one array leaf to host — the only
+    trustworthy execution fence through the remote-TPU relay
+    (block_until_ready can return before the remote execution retires,
+    inflating rates ~100x; a host value cannot lie). The device executes
+    its stream in order, so fetching any value derived from the LAST call
+    waits for every queued call before it.
+
+    Round-4 correction: fetching a FULL leaf transfers it through the
+    tunnel at ~10-40 MB/s — a 10 MB map leaf added ~30 ms/iteration of
+    pure transfer to round-3 "kernel" timings. A 1-element slice has the
+    same fence strength at zero transfer cost."""
     import jax
+    import jax.numpy as jnp
 
     leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
-    np.asarray(leaves[0])
+    np.asarray(jnp.ravel(leaves[0])[:1])
     return out
 
 

@@ -66,6 +66,8 @@ class StepOutput(NamedTuple):
     map_load: jnp.ndarray  # () live load factor (size / capacity)
     map_dropped: jnp.ndarray  # () cumulative insert-overflow drops
     n_insert: jnp.ndarray  # points passing the covariance gate
+    nn_miss: jnp.ndarray  # () int32 acceptance-rule misses of the round's
+    # gathering search AFTER wide escalation (escalation-demand signal)
     med_normal_y: jnp.ndarray  # median stored covariance this round
     kf_pts: jnp.ndarray  # (M_DS, 3) base-LiDAR points in the IMU body frame
     kf_mask: jnp.ndarray  # (M_DS,)
@@ -329,6 +331,7 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
         map_load=vh.size(map_state).astype(dtype) / cfg.map_capacity,
         map_dropped=map_state.n_dropped,
         n_insert=jnp.sum(ins_mask),
+        nn_miss=upd.cache.n_miss,
         med_normal_y=jnp.nanmedian(jnp.where(flat_mask, normal_y, jnp.nan)),
         kf_pts=so3.quat_rotate(upd.x.ext_r[und.base][None], ds_pts[und.base])
         + upd.x.ext_t[und.base][None],

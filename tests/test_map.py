@@ -71,7 +71,7 @@ def test_knn_matches_bruteforce():
 
     queries = jnp.asarray(rng.uniform(-3, 3, size=(50, 2)))
     queries = jnp.concatenate([queries, jnp.zeros((50, 1))], axis=1)
-    nn_pts, nn_covs, nn_d2, nn_cnt = vh.knn(m, queries, k=5, radius=1)
+    nn_pts, nn_covs, nn_d2, nn_cnt, _ = vh.knn(m, queries, k=5, radius=1)
     for i in range(50):
         idx, d2 = brute_knn(stored, np.asarray(queries[i]))
         # brute force over stored points; the voxel search is limited to the
@@ -89,7 +89,7 @@ def test_knn_sparse_returns_count():
     # two points in *different* voxels (same-voxel points dedup by design)
     pts = jnp.asarray([[0.1, 0.1, 0.1], [0.6, 0.1, 0.1]])
     m = vh.insert(m, pts, jnp.full((2,), 0.1), jnp.ones(2, bool))
-    _, _, d2, cnt = vh.knn(m, jnp.asarray([[0.2, 0.1, 0.1]]), k=5, radius=1)
+    _, _, d2, cnt, _ = vh.knn(m, jnp.asarray([[0.2, 0.1, 0.1]]), k=5, radius=1)
     assert int(cnt[0]) == 2
 
 
@@ -124,15 +124,74 @@ def test_reinsert_after_evict_no_duplicates():
     assert int(vh.size(m)) == 1
 
 
-def test_high_occupancy_recall():
-    """Round-1 regression: query probed 4 slots while insert probed 8, so
-    points stored at probe offsets 4-7 were invisible to k-NN at realistic
-    load factors. Query/insert now share MAX_PROBE; every stored point must
-    be findable by a query at its own location (d2 == 0), and the voxel-
-    region 5-NN must agree with brute force, at >= 50% load."""
+def test_surface_load_recall():
+    """Layout contract (round-4 supervoxel rows): on a realistic SURFACE
+    world (~1 pt per surface voxel, ~4 of 8 voxels per supervoxel
+    occupied) at ~25% load, insert loses at most a ~0.1% Poisson row-tail
+    (quantified at trajectory level in the chained-oracle drop A/B),
+    every stored point is findable by a query at its own location, and
+    the voxel-region 5-NN agrees with brute force."""
     cap = 1 << 13
     m = vh.create(cap, 0.5, jnp.float64)
-    # ~0.6 * cap distinct voxels
+    # a folded sheet: z = f(x, y) surface sampled at voxel pitch
+    side = 50
+    g = np.stack(np.meshgrid(np.arange(side), np.arange(side), indexing="ij"), -1)
+    xy = g.reshape(-1, 2) * 0.5
+    z = 2.0 * np.sin(xy[:, 0] * 0.35) + 1.5 * np.cos(xy[:, 1] * 0.22)
+    pts = np.concatenate([xy, z[:, None]], axis=1)
+    pts += rng.normal(size=pts.shape) * 0.05
+    n = pts.shape[0]
+    m = vh.insert(m, jnp.asarray(pts), jnp.full((n,), 0.1), jnp.ones(n, bool))
+    occ = int(vh.size(m))
+    load = occ / cap
+    assert load >= 0.2, load
+    assert int(m.n_dropped) <= max(2, int(0.002 * n)), int(m.n_dropped)
+
+    stored = np.asarray(m.points[np.asarray(m.occupied)])
+    nn_pts, _, nn_d2, nn_cnt, _ = vh.knn(m, jnp.asarray(stored), k=5, radius=1)
+    # self-recall: the query IS a stored point, so the nearest hit is itself
+    self_found = np.asarray(nn_d2[:, 0]) < 1e-18
+    recall = self_found.mean()
+    assert recall >= 0.999, f"self-recall {recall:.4f} at load {load:.2f}"
+
+    # brute-force agreement over the guaranteed cell window. The search
+    # covers AT LEAST cells [2a, 2a+3] per axis with a = (qkey - 1) >> 1
+    # (the +-1-voxel guarantee plus supervoxel slack); hash-collided rows
+    # may also surface true stored points from OUTSIDE the window (a
+    # strict improvement), so the returned distances must be elementwise
+    # <= the window brute force, and every returned neighbor must be a
+    # genuine stored point at its claimed distance.
+    skeys = np.floor(stored / 0.5).astype(np.int64)
+    sample = rng.choice(occ, size=64, replace=False)
+    nn_pts = np.asarray(nn_pts)
+    for qi in sample:
+        q = stored[qi]
+        qkey = np.floor(q / 0.5).astype(np.int64)
+        a = (qkey - 1) >> 1
+        in_win = np.all(
+            (skeys >= 2 * a[None]) & (skeys <= 2 * a[None] + 3), axis=-1
+        )
+        region = stored[in_win]
+        d2 = np.sort(np.sum((region - q[None]) ** 2, -1))[:5]
+        got = np.sort(np.asarray(nn_d2[qi]))[: len(d2)]
+        assert (got <= d2 + 1e-9).all(), (got, d2)
+        for j in range(int(nn_cnt[qi])):
+            p = nn_pts[qi, j]
+            dmin = np.min(np.sum((stored - p[None]) ** 2, -1))
+            assert dmin <= 1e-18  # a real stored point
+            np.testing.assert_allclose(
+                np.sum((p - q) ** 2), np.asarray(nn_d2[qi, j]), atol=1e-9
+            )
+
+
+def test_volumetric_overload_bounded_and_counted():
+    """The layout's worst case — a SOLID voxel grid (8 points per
+    supervoxel) at high load — must degrade gracefully: every loss is
+    counted in n_dropped, stored+dropped accounts for every distinct
+    voxel, and the evict-replace path keeps per-row contents at the
+    lowest offered covariances."""
+    cap = 1 << 12
+    m = vh.create(cap, 0.5, jnp.float64)
     n = int(cap * 0.6)
     side = int(np.ceil(n ** (1 / 3)))
     g = np.stack(
@@ -140,28 +199,11 @@ def test_high_occupancy_recall():
     ).reshape(-1, 3)[:n]
     pts = g * 0.5 + 0.25 + rng.normal(size=(n, 3)) * 0.05
     m = vh.insert(m, jnp.asarray(pts), jnp.full((n,), 0.1), jnp.ones(n, bool))
-    occ = int(vh.size(m))
-    load = occ / cap
-    assert load >= 0.5, load
-
-    stored = np.asarray(m.points[np.asarray(m.occupied)])
-    nn_pts, _, nn_d2, nn_cnt = vh.knn(m, jnp.asarray(stored), k=5, radius=1)
-    # self-recall: the query IS a stored point, so the nearest hit is itself
-    self_found = np.asarray(nn_d2[:, 0]) < 1e-18
-    recall = self_found.mean()
-    assert recall >= 0.999, f"self-recall {recall:.4f} at load {load:.2f}"
-
-    # region-restricted brute force agreement on a sample
-    skeys = np.floor(stored / 0.5).astype(np.int64)
-    sample = rng.choice(occ, size=64, replace=False)
-    for qi in sample:
-        q = stored[qi]
-        qkey = np.floor(q / 0.5).astype(np.int64)
-        in_region = np.all(np.abs(skeys - qkey[None]) <= 1, axis=-1)
-        region = stored[in_region]
-        d2 = np.sort(np.sum((region - q[None]) ** 2, -1))[:5]
-        got = np.sort(np.asarray(nn_d2[qi]))[: len(d2)]
-        np.testing.assert_allclose(got, d2, atol=1e-9)
+    stored = int(vh.size(m))
+    dropped = int(m.n_dropped)
+    assert stored + dropped == n, (stored, dropped, n)
+    # Poisson row-overflow at this volumetric load stays a small fraction
+    assert dropped <= 0.15 * n, dropped
 
 
 def test_insert_overflow_counted():
@@ -312,13 +354,13 @@ def test_knn_wide_reference_acceptance_recall_tunnel():
         return (np.asarray(nn_cnt) >= 5) & (np.asarray(nn_d2)[:, 4] <= 5.0)
 
     # base window only: the documented divergence, now measured
-    _, _, d2_1, cnt_1 = vh.knn(m, jnp.asarray(qs), k=5, radius=1)
+    _, _, d2_1, cnt_1, miss_1 = vh.knn(m, jnp.asarray(qs), k=5, radius=1)
     acc_1 = accepted(d2_1, cnt_1)
     recall_1 = (acc_1 & ref_ok).sum() / ref_ok.sum()
     assert recall_1 < 0.9, recall_1  # the gap is real in this regime
 
     # escalating search: reference-reach
-    nn_pts, _, d2_w, cnt_w = vh.knn(
+    nn_pts, _, d2_w, cnt_w, miss_w = vh.knn(
         m, jnp.asarray(qs), k=5, radius=1, wide_radius=5,
         wide_budget=len(qs), accept_d2=5.0,
     )
@@ -345,11 +387,11 @@ def test_knn_wide_budget_overflow_graceful():
         m, jnp.asarray(stored), jnp.full((len(stored),), 0.1),
         jnp.ones(len(stored), bool),
     )
-    _, _, d2_1, cnt_1 = vh.knn(m, jnp.asarray(qs), k=5, radius=1)
-    _, _, d2_b, cnt_b = vh.knn(
+    _, _, d2_1, cnt_1, miss_1 = vh.knn(m, jnp.asarray(qs), k=5, radius=1)
+    _, _, d2_b, cnt_b, _ = vh.knn(
         m, jnp.asarray(qs), k=5, radius=1, wide_radius=5, wide_budget=4
     )
-    _, _, d2_f, cnt_f = vh.knn(
+    _, _, d2_f, cnt_f, _ = vh.knn(
         m, jnp.asarray(qs), k=5, radius=1, wide_radius=5, wide_budget=64
     )
     need = ~((np.asarray(cnt_1) >= 5) & (np.asarray(d2_1)[:, 4] <= 5.0))
@@ -379,11 +421,11 @@ def test_knn_wide_qmask_excludes_padded_lanes():
     # pad with garbage lanes at (0,0,0)-ish that would all escalate
     qpad = np.concatenate([np.zeros((32, 3)), qs])
     qmask = np.concatenate([np.zeros(32, bool), np.ones(32, bool)])
-    _, _, d2_m, cnt_m = vh.knn(
+    _, _, d2_m, cnt_m, _ = vh.knn(
         m, jnp.asarray(qpad), k=5, radius=1, wide_radius=5, wide_budget=32,
         qmask=jnp.asarray(qmask),
     )
-    _, _, d2_ref, cnt_ref = vh.knn(
+    _, _, d2_ref, cnt_ref, _ = vh.knn(
         m, jnp.asarray(qs), k=5, radius=1, wide_radius=5, wide_budget=32
     )
     np.testing.assert_allclose(
@@ -392,28 +434,39 @@ def test_knn_wide_qmask_excludes_padded_lanes():
     assert np.array_equal(np.asarray(cnt_m)[32:], np.asarray(cnt_ref))
 
 
-def test_fingerprint_window_collision_free():
-    """The fingerprint must be injective over any search-window-sized key
-    neighborhood. The additive pre-mix is linear (constant difference per
-    key delta) and the murmur3 finalizer is bijective, so it suffices to
-    check the pre-mix delta is nonzero for every |delta|inf <= 12 —
-    covering base (1) and wide (<= 5 + slack) windows. The round-2
-    XOR-of-products scheme fails exactly this (structural collisions,
-    e.g. (2, y, 2) vs (-2, y, -2) for every y)."""
-    r = np.arange(-12, 13, dtype=np.int64)
-    dx, dy, dz = np.meshgrid(r, r, r, indexing="ij")
-    F1, F2, F3 = 1540483477, 1274126177, 868864169
-    pre = (dx * F1 + dy * F2 + dz * F3) % (1 << 32)
-    pre[12, 12, 12] = 1  # the zero delta is the key itself
-    assert (pre != 0).all()
-    # and the finalizer is a bijection: spot-verify by inverting sizes
-    u = np.arange(0, 1 << 16, dtype=np.uint64)  # 16-bit prefix sample
-    def mix(v):
-        v = v & 0xFFFFFFFF
-        v ^= v >> 16
-        v = (v * 0x85EBCA6B) & 0xFFFFFFFF
-        v ^= v >> 13
-        v = (v * 0xC2B2AE35) & 0xFFFFFFFF
-        v ^= v >> 16
-        return v
-    assert len(np.unique(mix(u))) == len(u)
+def test_fingerprint_supervoxel_siblings_distinct():
+    """The fingerprint's only identification duty (round-4 layout) is
+    INSERT-time slot matching within one supervoxel row, so the critical
+    injectivity domain is the 8 sibling voxels of each supervoxel (plus
+    whatever hash-collides into the row, which is probabilistic ~2^-23
+    per pair by construction and benign: a collision merges two voxels
+    under the lowest-covariance policy). The truncated 23-bit fp is NOT
+    injective globally — this checks the sibling domain exhaustively over
+    a large key grid, f32-exactness, and the nonzero reservation."""
+    r = np.arange(-40, 40, dtype=np.int32)
+    kx, ky, kz = np.meshgrid(r, r, r, indexing="ij")
+    keys = jnp.asarray(
+        np.stack([kx, ky, kz], -1).reshape(-1, 3), jnp.int32
+    )
+    fp = np.asarray(vh._fingerprint(keys)).reshape(80, 80, 80)
+    # exact in f32 and never the empty sentinel
+    assert fp.min() >= 1 and fp.max() < (1 << 23)
+    assert np.array_equal(fp.astype(np.float32).astype(np.int32), fp)
+    # sibling collisions within a supervoxel merge two voxels (lowest-cov
+    # policy, benign) at ~28/2^23 per supervoxel; over the 64k blocks
+    # sampled here the expectation is ~0.2 — assert the measured count
+    # stays within a generous factor of that bound (a systematic/
+    # structural collision pattern would light this up immediately: the
+    # round-2 XOR-of-products scheme collided on ~1% of blocks)
+    sib = np.stack(
+        [
+            fp[i::2, j::2, k::2][:40, :40, :40]
+            for i in (0, 1)
+            for j in (0, 1)
+            for k in (0, 1)
+        ],
+        axis=-1,
+    ).reshape(-1, 8)
+    sib.sort(axis=-1)
+    colliding_blocks = (np.diff(sib, axis=-1) == 0).any(axis=-1).sum()
+    assert colliding_blocks <= 4, colliding_blocks
