@@ -140,8 +140,12 @@ def main():
     compiled = lowered.compile()
     hlo = compiled.as_text()
 
-    # warm + trace one dispatch
+    # warm TWO rounds first: the fresh carry has map_init=False, which
+    # skips the entire IEKF update branch — tracing the first step
+    # attributes a step that never runs the filter (round-4 lesson)
     out = step_j(carry, group)
+    out = step_j(out[0], group)
+    carry = out[0]
     np.asarray(jnp.ravel(out[1].pos)[:1])
     tdir = tempfile.mkdtemp(prefix="steptrace_")
     with jax.profiler.trace(tdir):

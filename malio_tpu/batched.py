@@ -246,7 +246,21 @@ def _run_benchmark(cfg, seqs, dtype, chunk, warmup, passes):
         if np.isfinite(agg):
             values.append(float(agg))
     ates = _ates_from_outs(outs, seqs)
-    return values, ates, n_rounds
+    # escalation-demand signal: per-round acceptance misses after the
+    # wide pass (sizes knn_wide_budget from data, VERDICT round-3 item 2)
+    miss = np.concatenate(
+        [np.asarray(o.nn_miss).reshape(-1) for o, _ in outs]
+    ) if outs and hasattr(outs[0][0], "nn_miss") else np.zeros(0)
+    drops = np.concatenate(
+        [np.asarray(o.map_dropped).reshape(-1) for o, _ in outs]
+    ) if outs else np.zeros(0)
+    stats = dict(
+        nn_miss_p50=float(np.median(miss)) if miss.size else 0.0,
+        nn_miss_p99=float(np.percentile(miss, 99)) if miss.size else 0.0,
+        nn_miss_max=float(miss.max()) if miss.size else 0.0,
+        map_dropped_final=float(drops.max()) if drops.size else 0.0,
+    )
+    return values, ates, n_rounds, stats
 
 
 def synthetic_batched_benchmark(
@@ -265,7 +279,7 @@ def synthetic_batched_benchmark(
     seqs = _build_sequences(
         cfg, batch, duration, points, dict(ext_t=np.array([[0.2, 0.0, 0.0]]))
     )
-    values, ates, n_rounds = _run_benchmark(cfg, seqs, dtype, chunk, warmup, 1)
+    values, ates, n_rounds, _stats = _run_benchmark(cfg, seqs, dtype, chunk, warmup, 1)
     agg = values[0] if values else float("nan")
     return dict(
         aggregate_scans_per_sec=agg, per_seq=agg / batch, ates=ates,
@@ -309,10 +323,11 @@ def flagship_benchmark(
             world_kwargs=dict(n_planes=96, extent=40.0, patch=10.0, grid=0.3),
         ),
     )
-    values, ates, n_rounds = _run_benchmark(
+    values, ates, n_rounds, stats = _run_benchmark(
         cfg, seqs, dtype, chunk, warmup, passes
     )
     return dict(
+        stats=stats,
         values=values,
         median=float(np.median(values)) if values else float("nan"),
         best=float(np.max(values)) if values else float("nan"),

@@ -40,52 +40,113 @@ class HShareResult(NamedTuple):
 HShareFn = Callable[[st.State, jnp.ndarray, Any], tuple[HShareResult, Any]]
 
 
-def _tangent_transport(x_lin: st.State, dx, x_prop: st.State):
+def _inv3(B):
+    """Closed-form 3x3 inverse (adjugate / Cramer)."""
+    c0 = jnp.cross(B[1], B[2])
+    c1 = jnp.cross(B[2], B[0])
+    c2 = jnp.cross(B[0], B[1])
+    det = jnp.dot(B[0], c0)
+    det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+    return jnp.stack([c0, c1, c2], axis=-1) / det
+
+
+def _inv2(B):
+    """Closed-form 2x2 inverse."""
+    det = B[0, 0] * B[1, 1] - B[0, 1] * B[1, 0]
+    det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+    return (
+        jnp.asarray([[B[1, 1], -B[0, 1]], [-B[1, 0], B[0, 0]]], B.dtype) / det
+    )
+
+
+def _tangent_transport(x_lin: st.State, dx, x_prop: st.State, with_inverse=False):
     """Block-diagonal chart-transport Jacobian applied to dx and P inside the
     iterated update (esekfom.hpp:532-572): A(dx_seg)^T per SO(3) block,
-    Nx(x) Mx(x_prop, dx_seg) for the S2 gravity block."""
+    Nx(x) Mx(x_prop, dx_seg) for the S2 gravity block.
+
+    with_inverse=True also returns J^-1 assembled from closed-form
+    blockwise inverses: P_t^-1 = J^-T P0^-1 J^-1 then needs only the
+    ROUND-hoisted P0 inverse instead of a per-iteration 35x35 SPD
+    inverse (the solve's dominant cost, round-4 profile)."""
     L = x_lin.num_lidars
     n = st.dof(L)
     J = jnp.eye(n, dtype=dx.dtype)
+    Jinv = jnp.eye(n, dtype=dx.dtype) if with_inverse else None
     for s in st.so3_block_starts(L):
         seg = jax.lax.dynamic_slice(dx, (s,), (3,))
         blk = jnp.swapaxes(so3.A_matrix(seg), -1, -2)
         J = jax.lax.dynamic_update_slice(J, blk.astype(J.dtype), (s, s))
+        if with_inverse:
+            Jinv = jax.lax.dynamic_update_slice(
+                Jinv, _inv3(blk).astype(J.dtype), (s, s)
+            )
     gi = st.idx_grav(L)
     seg2 = jax.lax.dynamic_slice(dx, (gi,), (2,))
     # chart blocks come from the (possibly lower-precision) state; the
     # transport runs in dx's dtype (the solve dtype)
     Nx = s2.s2_nx_yy(x_lin.grav.astype(dx.dtype))
     Mx = s2.s2_mx(x_prop.grav.astype(dx.dtype), seg2)
-    J = jax.lax.dynamic_update_slice(J, (Nx @ Mx).astype(J.dtype), (gi, gi))
+    g_blk = (Nx @ Mx).astype(J.dtype)
+    J = jax.lax.dynamic_update_slice(J, g_blk, (gi, gi))
+    if with_inverse:
+        Jinv = jax.lax.dynamic_update_slice(Jinv, _inv2(g_blk), (gi, gi))
+        return J, Jinv
     return J
+
+
+def _chol_unrolled(A, pivot_floor):
+    """Cholesky factor of a small SPD matrix by n UNROLLED rank-1
+    downdates — no lax.while, no dynamic slices.
+
+    XLA's jnp.linalg.cholesky lowers to a While-loop kernel whose
+    serialized micro-steps (plus two triangular-solve While kernels)
+    measured ~35 ms PER FUSION ROUND at n=35 in f64 on the v5e — the
+    single largest cost of the whole step (round-4 profile). Unrolled,
+    the same factorization is one straight-line fusion of ~3n vector ops.
+
+    Pivots are floored at `pivot_floor` (the operand is pre-equilibrated
+    to unit diagonal, so a fixed relative floor is principled); this
+    replaces the old NaN-detect + jittered-retry: a slightly indefinite
+    operand (the P = L - K_x P subtraction form, esekfom.hpp:714) hits
+    the floor instead of detonating."""
+    n = A.shape[0]
+    idx = jnp.arange(n)
+    L = jnp.zeros_like(A)
+    M = A
+    for j in range(n):
+        piv = jnp.sqrt(jnp.maximum(M[j, j], pivot_floor))
+        col = jnp.where(idx >= j, M[:, j] / piv, 0.0)
+        L = L.at[:, j].set(col)
+        M = M - col[:, None] * col[None, :]
+    return L
+
+
+def _lower_inverse_unrolled(L):
+    """L^-1 for lower-triangular L by n unrolled forward substitutions
+    (each one masked matvec; no While kernels)."""
+    n = L.shape[0]
+    I = jnp.eye(n, dtype=L.dtype)
+    V = jnp.zeros_like(L)
+    for i in range(n):
+        s = L[i] @ V  # only rows < i of V are nonzero so far
+        V = V.at[i].set((I[i] - s) / L[i, i])
+    return V
 
 
 def _spd_inverse(A):
     """Robust inverse of a (nominally) symmetric positive-definite matrix:
-    Jacobi scaling + Cholesky, with a jittered retry for indefiniteness.
-
-    The covariance update's subtraction form (P = L - K_x P,
-    esekfom.hpp:714) can leave P slightly indefinite; the first Cholesky
-    then produces NaNs and the jittered factorization takes over (the
-    equilibrated matrix has unit diagonal, so a fixed relative jitter is
-    a principled floor). Cholesky replaced the round-3 eigh+clamp: XLA's
-    TPU eigh on a 35x35 runs millisecond-scale iterative sweeps and
-    dominated the whole fusion round; two triangular solves cost ~nothing
-    and the solve island runs f64, where the indefinite case is rare."""
+    Jacobi equilibration + unrolled Cholesky + unrolled triangular
+    inverse. Straight-line code — every op is a small VPU/MXU primitive,
+    which is ~50x faster than the While-loop linalg kernels on TPU at
+    n = 35 (see _chol_unrolled)."""
     A = 0.5 * (A + A.T)
     d = jnp.sqrt(jnp.clip(jnp.diagonal(A), 1e-30, None))
     inv_d = 1.0 / d
     As = A * inv_d[:, None] * inv_d[None, :]
     As = 0.5 * (As + As.T)
-    n = A.shape[0]
-    I = jnp.eye(n, dtype=A.dtype)
-    jitter = 1e-5 if A.dtype == jnp.float32 else 1e-10
-    L1 = jnp.linalg.cholesky(As)
-    L2 = jnp.linalg.cholesky(As + jitter * I)
-    ok = ~jnp.any(jnp.isnan(L1))
-    Lc = jnp.where(ok, L1, jnp.where(jnp.any(jnp.isnan(L2)), I, L2))
-    Linv = jax.scipy.linalg.solve_triangular(Lc, I, lower=True)
+    floor = 1e-5 if A.dtype == jnp.float32 else 1e-10
+    Lc = _chol_unrolled(As, floor)
+    Linv = _lower_inverse_unrolled(Lc)
     Ws = Linv.T @ Linv
     return Ws * inv_d[:, None] * inv_d[None, :]
 
@@ -135,16 +196,27 @@ def update_iterated(
     # (Eigen, esekfom.hpp:620-638).
     sdtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
     I_n = jnp.eye(n, dtype=sdtype)
+    P0s = P0.astype(sdtype)
+    # ROUND-hoisted: the prior's inverse. Inside the loop only
+    # P_t^-1 = J^-T P0^-1 J^-1 (closed-form blockwise J^-1) and ONE SPD
+    # inverse of the information matrix remain — the per-iteration
+    # spd_inverse(P_t) was half the solve cost (round-4 profile).
+    P0_inv = _spd_inverse(P0s)
 
     def body(carry):
-        (i, t, converge, x, _P_t, _Kxa, _dx_out, ever_valid, cache, _done) = carry
-        search = converge if search_on_converge else (i == -1)
+        (i, t, converge, x, _P_t, _Kxa, _dx_out, ever_valid, cache, Pi_prev,
+         _done) = carry
+        # the i == -1 "search" would exactly reproduce cache0: the cache
+        # is BUILT by the same ranking at x0 (make_h_share), so the first
+        # iteration reuses it — value-identical, one re-rank cheaper
+        search = (
+            converge & (i > -1) if search_on_converge else jnp.asarray(False)
+        )
         res, cache = h_share_fn(x, search, cache)
 
         dx = st.boxminus(x, x0).astype(sdtype)
-        J = _tangent_transport(x, dx, x0)
+        J, Jinv = _tangent_transport(x, dx, x0, with_inverse=True)
         dx_new = J @ dx
-        P_t = J @ P0.astype(sdtype) @ J.T
 
         w_mask = res.mask.astype(sdtype)
         R_eff = jnp.where(res.R < r_floor_check, r_floor_value, res.R).astype(sdtype)
@@ -152,9 +224,29 @@ def update_iterated(
         HTw = res.H.T.astype(sdtype) * w[None, :]  # (act, M)
         HTH = HTw @ res.H.astype(sdtype)  # (act, act)
 
-        P_inv = _spd_inverse(P_t)
+        P_inv = Jinv.T @ P0_inv @ Jinv
         P_temp = P_inv.at[:act, :act].add(HTH)
-        Pi = _spd_inverse(P_temp)
+        # warm-started Newton-Schulz inverse: across IEKF iterations the
+        # information matrix moves by a small state update, so the
+        # previous iteration's inverse is a high-quality initializer —
+        # three X <- X(2I - AX) steps (6 small matmuls) square the
+        # residual thrice. The direct unrolled-Cholesky inverse runs only
+        # when the residual check fails (always on the first iteration;
+        # rarely after), via lax.cond so the expensive branch is skipped
+        # at runtime — ~70 sequential micro-ops per _spd_inverse were the
+        # solve's dominant cost (round-4 profile).
+        r0 = jnp.max(jnp.abs(I_n - P_temp @ Pi_prev))
+
+        def warm(_):
+            X = Pi_prev
+            for _ in range(4):  # r0 < 0.3 -> residual 0.3^16 ~ 4e-9
+                X = X @ (2.0 * I_n - P_temp @ X)
+                X = 0.5 * (X + X.T)
+            return X
+
+        Pi = jax.lax.cond(
+            r0 < 0.3, warm, lambda _: _spd_inverse(P_temp), None
+        )
         Pia = Pi[:, :act]
         K_h = Pia @ (HTw @ res.h.astype(sdtype))
         K_xa = Pia @ HTH  # (n, act)
@@ -171,16 +263,21 @@ def update_iterated(
         done = (t_new > 1) | (i == max_iter - 1)
         # an invalid iteration skips all bookkeeping (reference `continue`)
         done = jnp.where(res.valid, done, i == max_iter - 1)
+        # P_t = J P0 J^T is NOT used by the solve (the information form
+        # sandwiches P0_inv instead); only the post-loop covariance update
+        # needs it — carry the state it was linearized at and rebuild it
+        # once after the loop (saves 2 f64 matmuls per iteration)
         return (
             i + 1,
             t_new,
             conv_new,
             x_new,
-            P_t,
+            x,
             K_xa,
             dx_out,
             ever_valid | res.valid,
             cache,
+            Pi,
             done,
         )
 
@@ -192,19 +289,24 @@ def update_iterated(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(True),
         x0,
-        P0.astype(sdtype),
+        x0,
         jnp.zeros((n, act), sdtype),
         jnp.zeros((n,), sdtype),
         jnp.asarray(False),
         cache0,
+        jnp.zeros((n, n), sdtype),  # Pi warm start (first iter: direct)
         jnp.asarray(False),
     )
-    (i, _t, _c, x_f, P_t, K_xa, dx_out, ever_valid, cache_f, _d) = jax.lax.while_loop(
-        cond, body, init
+    (i, _t, _c, x_f, x_lin, K_xa, dx_out, ever_valid, cache_f, _Pi, _d) = (
+        jax.lax.while_loop(cond, body, init)
     )
 
-    # final covariance update with fresh chart transport at the accepted step
-    # (esekfom.hpp:665-714) — still in the solve dtype
+    # rebuild the last iteration's tangent covariance at its
+    # linearization state, then the final covariance update with fresh
+    # chart transport at the accepted step (esekfom.hpp:665-714)
+    dx_lin = st.boxminus(x_lin, x0).astype(sdtype)
+    J_lin = _tangent_transport(x_lin, dx_lin, x0)
+    P_t = J_lin @ P0s @ J_lin.T
     J2 = _tangent_transport(x_f, dx_out, x0)
     L_mat = J2 @ P_t @ J2.T
     P_cols = P_t @ J2.T

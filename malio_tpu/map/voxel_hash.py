@@ -408,6 +408,30 @@ def _svx_ball_offsets(radius: int) -> np.ndarray:
     return np.asarray(keep, np.int32)
 
 
+def topk_min(d2, k: int):
+    """k smallest values of d2 (..., C), ascending, with their indices.
+
+    Iterative selection (k rounds of argmin + mask-out) instead of
+    jax.lax.top_k: XLA's TPU top-k lowers through a (u32, u32) pair
+    reduce-window whose scoped-vmem stack allocation overflows when the
+    step is wrapped in lax.scan at the flagship shape (the round-3
+    scan_steps compile failure). k rounds of reduce+select are scan-safe
+    and measure no slower at k <= 16."""
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    lanes = jnp.arange(d2.shape[-1], dtype=jnp.int32)
+    vals, idxs = [], []
+    cur = d2
+    for _ in range(k):
+        # min + argmin as lane reductions; NO take_along_axis here (a
+        # per-lane gather per round measured ~0.5 ms x k at 12k queries)
+        i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+        v = jnp.min(cur, axis=-1)
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(lanes == i[..., None], big, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 _WINDOW_CHUNK = 64  # supervoxel rows per scanned chunk: caps the live
 # candidate tensor (budget 1024 x 64 x SLOTS x 5 f32 ~ 21 MB) while
 # keeping the sequential chunk count low (the scan's serialized gather
@@ -460,8 +484,7 @@ def _knn_window(m: VoxelHashMap, queries, k: int, radius: int):
         )
 
     def finish(cand_pts, cand_cov, d2):
-        neg_top, idx = jax.lax.top_k(-d2, k)
-        nn_d2 = -neg_top
+        nn_d2, idx = topk_min(d2, k)
         nn_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
         nn_covs = jnp.take_along_axis(cand_cov, idx, axis=1)
         nn_cnt = jnp.sum(nn_d2 < bigv, axis=-1)
@@ -490,11 +513,11 @@ def _knn_window(m: VoxelHashMap, queries, k: int, radius: int):
         all_pts = jnp.concatenate([b_pts, c_pts], axis=1)
         all_covs = jnp.concatenate([b_covs, c_covs], axis=1)
         all_d2 = jnp.concatenate([b_d2, c_d2], axis=1)
-        neg_top, idx = jax.lax.top_k(-all_d2, k)
+        nn_d2, idx = topk_min(all_d2, k)
         return (
             jnp.take_along_axis(all_pts, idx[..., None], axis=1),
             jnp.take_along_axis(all_covs, idx, axis=1),
-            -neg_top,
+            nn_d2,
         ), None
 
     (b_pts, b_covs, b_d2), _ = jax.lax.scan(body, init, (b_c, alive_c))
@@ -560,14 +583,31 @@ def knn(
     if wide_budget <= 0 or wide_radius <= radius:
         return (*res, jnp.sum(misses(res)).astype(jnp.int32))
 
+    # budgeted compaction WITHOUT jnp.nonzero or scatter splices: both
+    # lower through sort/scatter expanders whose scoped-vmem stack
+    # overflows when the step is wrapped in lax.scan at the flagship
+    # shape (the round-3 scan_steps compile failure). rank = position of
+    # each miss in escalation order; the inverse permutation is one small
+    # unique scatter into a (budget + Q)-padded array (dead lanes get
+    # unique dump slots), and results splice back with a gather + select.
     Q = queries.shape[0]
     need = misses(res)
-    idx = jnp.nonzero(need, size=wide_budget, fill_value=Q)[0]
-    live = idx < Q
-    safe = jnp.minimum(idx, Q - 1)
+    needi = need.astype(jnp.int32)
+    rank = jnp.cumsum(needi) - needi  # exclusive prefix
+    valid = need & (rank < wide_budget)
+    tgt = jnp.where(valid, rank, wide_budget + jnp.arange(Q, dtype=jnp.int32))
+    inv = (
+        jnp.full((wide_budget + Q,), Q, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(Q, dtype=jnp.int32), unique_indices=True)[:wide_budget]
+    )
+    safe = jnp.minimum(inv, Q - 1)
     w = _knn_window(m, queries[safe], k, wide_radius)
-    tgt = jnp.where(live, safe, Q)
+    r = jnp.minimum(rank, wide_budget - 1)
     res = tuple(
-        base.at[tgt].set(wide, mode="drop") for base, wide in zip(res, w)
+        jnp.where(
+            valid.reshape((Q,) + (1,) * (base.ndim - 1)), wide[r], base
+        )
+        for base, wide in zip(res, w)
     )
     return (*res, jnp.sum(misses(res)).astype(jnp.int32))

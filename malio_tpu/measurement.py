@@ -165,8 +165,7 @@ def _rank_and_fit(cfg, cand_pts, cand_covs, cand_valid, pt_mask, p_world, dtype)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     d2 = jnp.sum((cand_pts - p_world[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(cand_valid, d2, big)
-    neg_top, idx = jax.lax.top_k(-d2, NUM_MATCH)
-    nn_d2 = -neg_top
+    nn_d2, idx = vh.topk_min(d2, NUM_MATCH)
     nn_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
     nn_covs = jnp.take_along_axis(cand_covs, idx, axis=1)
     nn_cnt = jnp.sum(nn_d2 < big, axis=-1).astype(jnp.int32)
