@@ -5,31 +5,31 @@ under axon; CPU if forced).
 Prints ONE JSON line:
   {"metric": "scans_per_sec", "value": N, "unit": "scans/s", "vs_baseline": R, ...}
 
-Round 3 headline (VERDICT round-2 item 3): the **flagship City config-3
-shape** — 3 LiDARs with the City rig extrinsics, ~12k downsampled points
-per fusion round (3 x 4096), a 1<<21-slot map, City weighting laws and
-reference-reach k-NN — i.e. the workload the reference's City launch
-actually runs (launch/mapping_city.launch + config/City.yaml), batched
-B=16 sequences in lockstep (BASELINE config 5). `value` is the MEDIAN of
-3 timed passes over the identical pre-stacked stream (pass 1 includes
-compile; warmup rounds are excluded per pass); `best` bounds relay
-jitter upward. A single-sequence (B=1) figure is reported alongside:
-that is the latency-oriented shape a live robot runs.
+Headline: the **flagship City config-3 shape** — 3 LiDARs with the City
+rig extrinsics, ~12k downsampled points per fusion round (3 x 4096), a
+1<<21-slot map, City weighting laws and reference-reach k-NN — i.e. the
+workload the reference's City launch actually runs
+(launch/mapping_city.launch + config/City.yaml), single-sequence (B=1,
+the live-robot shape), replayed in lax.scan chunks of 8 rounds per
+dispatch (the production path, runner.run_sequence). `value` is the
+MEDIAN of 3 timed passes over the identical pre-stacked stream (pass 1
+includes compile; warmup rounds are excluded per pass); `best` bounds
+relay jitter upward.
 
-Per-sequence ATE is asserted finite to ensure the measured work is the
-real estimator, not a degenerate loop.
+Gates (VERDICT round-3 item 7): the throughput is REPORTED AS 0.0 when
+the flagship ATE is non-finite OR exceeds ATE_GATE_M — a perf change
+that breaks the estimator must not publish a number.
+
+Per-kernel fields (VERDICT round-3 item 6): nn_ms / insert_ms / iekf_ms
+are honest tiny-slice-fenced medians at the same shape so the driver
+tracks the BASELINE kernel-efficiency target directly.
 
 Baseline: 20 scan-groups/s. A local headless build of the reference is
 impossible in this image (needs Eigen/PCL/ROS; installs disallowed), so
 the denominator is derived from the reference's own instrumentation
 semantics — real-time at 10 Hz City groups with ~50 ms/group printed by
 laserMapping.cpp:825-826 — with the sensitivity analysis documented in
-benchmarks/RESULTS.md ("Baseline derivation"). The flagship shape is the
-SAME working point that derivation describes, so the ratio is now
-measured at the reference's own workload (round 1/2 measured a lighter
-1-LiDAR 2048-pt config; see BENCH_r01/r02 and benchmarks/RESULTS.md for
-the cross-round comparability note).
-vs_baseline = value / 20.
+benchmarks/RESULTS.md ("Baseline derivation"). vs_baseline = value / 20.
 """
 import json
 import sys
@@ -40,13 +40,78 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 20.0
+ATE_GATE_M = 0.05  # flagship synthetic runs ~0.011; 0.05 = broken filter
 
 
-def _finite(res, key):
-    v = float(res[key])
-    if not np.isfinite(v) or not all(np.isfinite(a) for a in res["ates"]):
-        return 0.0
-    return v
+def _kernel_times():
+    """Honest per-kernel medians at the flagship shape (best-effort: a
+    kernel-bench failure must not kill the throughput number)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        import __graft_entry__ as ge
+        from malio_tpu.config import city_config
+        from malio_tpu import measurement as meas
+        from malio_tpu.map import voxel_hash as vh
+        from malio_tpu.filter import esekf
+        from malio_tpu.metrics import kernel_timer
+
+        cfg = city_config(
+            max_raw_points=4096, max_points_per_scan=4096,
+            max_imu_per_group=16, traj_capacity=64, spline_capacity=64,
+            epoch_capacity=32, map_capacity=1 << 21,
+        )
+        carry, group = ge._dummy_inputs(cfg)
+        rng = np.random.default_rng(0)
+        M = cfg.num_lidars * cfg.max_points_per_scan
+        pts = jnp.asarray(rng.normal(size=(M, 3)) * 15, jnp.float32)
+        covs = jnp.full((M,), 0.01, jnp.float32)
+        mask = jnp.ones((M,), bool)
+        ins_j = jax.jit(lambda m, p: vh.insert(m, p, covs, mask))
+        t_ins, m2 = kernel_timer(ins_j, carry.map, pts, iters=5)
+        knn_j = jax.jit(
+            lambda m, q: vh.knn(
+                m, q, k=meas.CAND_K, radius=cfg.knn_radius,
+                wide_radius=cfg.knn_wide_radius,
+                wide_budget=cfg.knn_wide_budget,
+            )
+        )
+        t_knn, _ = kernel_timer(knn_j, m2, pts, iters=5)
+
+        from malio_tpu import propagate as prop
+
+        und = jax.jit(
+            lambda c, g: prop.undistort(
+                cfg, c.x, c.P, c.hist, g, c.Q, c.last_in, c.last_imu,
+                c.last_end_t, c.mean_acc_norm,
+            )
+        )(carry, group)
+        sd = meas.ScanData(
+            pts_body=pts,
+            pt_lidar=jnp.repeat(
+                jnp.arange(cfg.num_lidars, dtype=jnp.int32),
+                cfg.max_points_per_scan,
+            ),
+            pt_epoch=jnp.zeros((M,), jnp.int32),
+            pt_mask=mask,
+            tc_q=und.tc_q, tc_t=und.tc_t, base=und.base,
+            unc_q=und.unc_q, unc_t=und.unc_t, unc_cov=und.unc_cov,
+            epoch_count=und.epoch_count,
+        )
+
+        def _upd(x, P, m, s):
+            h, c0 = meas.make_h_share(cfg, m, s, x)
+            return esekf.update_iterated(x, P, h, c0, max_iter=cfg.max_iteration)
+
+        t_iekf, _ = kernel_timer(jax.jit(_upd), carry.x, carry.P, m2, sd, iters=5)
+        return {
+            "insert_ms": round(t_ins * 1000, 2),
+            "nn_ms": round(t_knn * 1000, 2),
+            "iekf_ms": round(t_iekf * 1000, 2),
+        }
+    except Exception as e:  # pragma: no cover
+        return {"kernel_error": str(e)[:120]}
 
 
 def main():
@@ -55,33 +120,33 @@ def main():
     _cache.enable()
     from malio_tpu.batched import flagship_benchmark
 
-    # Single-sequence flagship (the live-robot / per-chip shape). The
-    # fusion round is gather-latency-bound, so lockstep batching on ONE
-    # chip REDUCES aggregate throughput (measured: B=8 aggregate 1.15
-    # scans/s vs B=1 at 2.7 pre-bucket-layout — benchmarks/RESULTS.md
-    # round 3); multi-sequence scale-out is the dp mesh axis across
-    # chips, not vmap on one. Median of 3 identical passes (pass 1
-    # carries compile; the median discards it), best alongside.
     res = flagship_benchmark(
         batch=1, duration=8.0, points_per_lidar=4096, passes=3
     )
-    value = _finite(res, "median")
-    best = _finite(res, "best")
+    value = float(res["median"])
+    best = float(res["best"])
+    ate = float(res["ates"][0])
+    gated = not (np.isfinite(value) and np.isfinite(ate) and ate <= ATE_GATE_M)
+    if gated:
+        value = 0.0
+        best = 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "scans_per_sec",
-                "value": round(value, 3),
-                "unit": "scans/s",
-                "vs_baseline": round(value / BASELINE_SCANS_PER_SEC, 3),
-                "config": "city-flagship 3-lidar 12288pt 2Mslot B=1",
-                "best": round(best, 3),
-                "passes": [round(v, 3) for v in res["values"]],
-                "ate_m": round(float(res["ates"][0]), 4),
-            }
-        )
-    )
+    out = {
+        "metric": "scans_per_sec",
+        "value": round(value, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(value / BASELINE_SCANS_PER_SEC, 3),
+        "config": "city-flagship 3-lidar 12288pt 2Mslot B=1 scan8",
+        "best": round(best, 3),
+        "passes": [round(v, 3) for v in res["values"]],
+        "ate_m": round(ate, 4) if np.isfinite(ate) else float("nan"),
+        "ate_gate_m": ATE_GATE_M,
+        "gated": gated,
+        "nn_miss_p50": res["stats"]["nn_miss_p50"],
+        "map_dropped": res["stats"]["map_dropped_final"],
+    }
+    out.update(_kernel_times())
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -60,10 +60,14 @@ def _flagship_config(points_per_lidar, map_slots, single_search):
     benchmark working point."""
     from malio_tpu.config import city_config
 
+    # max_imu_per_group 16: the City rig runs a 100 Hz IMU against 10 Hz
+    # fusion rounds (~10-11 samples + sync slack per group); the padded
+    # propagation scans run max_imu steps regardless of fill, so a 32
+    # capacity paid ~2x the sequential scan length for nothing
     return city_config(
         max_raw_points=points_per_lidar,
         max_points_per_scan=points_per_lidar,
-        max_imu_per_group=32,
+        max_imu_per_group=16,
         traj_capacity=64,
         spline_capacity=64,
         epoch_capacity=32,
@@ -175,7 +179,14 @@ def _timed_pass(vscan, carry0, chunks, warmup, chunk):
     np.asarray(outs[-1][0].pos)
     t_end = time.perf_counter()
     B = outs[-1][0].pos.shape[1]
-    agg = (n_done - n_warm) * B / (t_end - t_mark) if t_mark else float("nan")
+    # n_done == n_warm means the warmup threshold was only reached on the
+    # final chunk: there is no timed window, so report no-measurement
+    # (0/epsilon = 0.0 would pass the isfinite filter and drag medians)
+    agg = (
+        (n_done - n_warm) * B / (t_end - t_mark)
+        if t_mark is not None and n_done > n_warm
+        else float("nan")
+    )
     return agg, outs
 
 
@@ -214,11 +225,12 @@ def _run_benchmark(cfg, seqs, dtype, chunk, warmup, passes):
     n_rounds -= n_rounds % chunk
     carry0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
     if chunk == 1:
-        # per-round async dispatch: the scan-wrapped flagship step trips
-        # an XLA scoped-vmem overflow in a sort lowering at 1<<21 slots
-        # (the identical un-scanned step compiles); dispatches pipeline
-        # on the device, so the pass-end host fetch still measures
-        # sustained device throughput
+        # per-round async dispatch. NOTE (round 4): each dispatch through
+        # the relay pays ~15-30 ms of non-pipelined submission overhead,
+        # so chunked lax.scan (one dispatch per K rounds) is the honest
+        # production shape now that the flagship scan compiles (the
+        # round-3 scoped-vmem failures are fixed); chunk=1 remains for
+        # per-round observation
         vstep = jax.jit(
             lambda c, g: jax.vmap(lambda c1, g1: pipeline.step(cfg, c1, g1))(c, g)
         )
@@ -288,7 +300,7 @@ def synthetic_batched_benchmark(
 
 
 def flagship_benchmark(
-    batch=16, duration=6.0, points_per_lidar=4096, passes=3, chunk=1,
+    batch=16, duration=6.0, points_per_lidar=4096, passes=3, chunk=8,
     warmup=8, map_slots=None, single_search=False, dtype=None,
 ):
     """City config-3 flagship-shape benchmark: 3 LiDARs (City extrinsics),

@@ -169,6 +169,7 @@ def update_iterated(
     r_floor_check: float = 1e-4,
     r_floor_value: float = 1e-3,
     search_on_converge: bool = True,
+    solve_dtype=None,
 ) -> IEKFResult:
     """Run the iterated update (esekfom.hpp:495-721).
 
@@ -179,6 +180,12 @@ def update_iterated(
     search_on_converge=False searches only on the first iteration (the
     k-NN is the per-scan bottleneck; the post-convergence re-search moves
     few associations). A speed/fidelity trade the reference doesn't offer.
+
+    solve_dtype pins the solve-island precision explicitly (callers that
+    cannot rely on the process-global x64 flag should pass jnp.float64);
+    None keeps the default: f64 when x64 is enabled, else the state dtype
+    — in which case an f32 state accepts the documented f32-solve risk
+    (covariance growth at ill-conditioned working points, see below).
     """
     L = x0.num_lidars
     n = st.dof(L)
@@ -194,7 +201,7 @@ def update_iterated(
     # cost is a few (n, n) ops per iteration — noise next to the (M, act)
     # point math, which stays f32. The reference runs double throughout
     # (Eigen, esekfom.hpp:620-638).
-    sdtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    sdtype = solve_dtype or (jnp.float64 if jax.config.jax_enable_x64 else dtype)
     I_n = jnp.eye(n, dtype=sdtype)
     P0s = P0.astype(sdtype)
     # ROUND-hoisted: the prior's inverse. Inside the loop only
@@ -218,6 +225,13 @@ def update_iterated(
         J, Jinv = _tangent_transport(x, dx, x0, with_inverse=True)
         dx_new = J @ dx
 
+        # the (act, M) x (M, act) reductions run in the POINT dtype on the
+        # MXU (jax_default_matmul_precision=highest, i.e. full-f32 passes)
+        # and only the tiny (act, act) results are promoted to the solve
+        # dtype: f64-emulated M-sized matmuls cost ~1 ms each and the
+        # assembly precision (~1e-7 relative on a 12k-term sum) is far
+        # inside the measurement noise — the round-3 f32 detonation was a
+        # property of the SOLVE, which stays f64
         w_mask = res.mask.astype(sdtype)
         R_eff = jnp.where(res.R < r_floor_check, r_floor_value, res.R).astype(sdtype)
         w = w_mask / R_eff  # (M,)

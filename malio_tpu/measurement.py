@@ -166,8 +166,12 @@ def _rank_and_fit(cfg, cand_pts, cand_covs, cand_valid, pt_mask, p_world, dtype)
     d2 = jnp.sum((cand_pts - p_world[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(cand_valid, d2, big)
     nn_d2, idx = vh.topk_min(d2, NUM_MATCH)
-    nn_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
-    nn_covs = jnp.take_along_axis(cand_covs, idx, axis=1)
+    # select by one-hot contraction, not take_along_axis: a (M, 5)-lane
+    # gather costs ~1-3 ms/occurrence on the v5e while the (M, 5, CAND_K)
+    # one-hot einsum is ~4 MFLOP of fused VPU/MXU work
+    sel = (idx[..., None] == jnp.arange(cand_pts.shape[1])).astype(dtype)
+    nn_pts = jnp.einsum("mkc,mcd->mkd", sel, cand_pts)
+    nn_covs = jnp.einsum("mkc,mc->mk", sel, cand_covs)
     nn_cnt = jnp.sum(nn_d2 < big, axis=-1).astype(jnp.int32)
     searched = (
         pt_mask
@@ -211,20 +215,40 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
     pl = data.pt_lidar
 
     # --- hoisted: per-point measurement uncertainty (laserMapping.cpp:697,
-    # 740) — inputs never change across iterations ---
+    # 740) — inputs never change across iterations. The q/t/cov epoch
+    # tables are packed into ONE (L, E, 43) row table so each epoch
+    # selection is a single contiguous 172 B row gather instead of three
+    # (the v5e fetches a row of up to ~320 B at the same cost as 4 B) ---
+    E = data.unc_q.shape[1]
+    ucat = jnp.concatenate(
+        [
+            data.unc_q,
+            data.unc_t,
+            data.unc_cov.reshape(data.unc_q.shape[0], E, 36),
+        ],
+        axis=-1,
+    )  # (L, E, 43)
+
+    def _epoch_pose(e_idx):
+        row = ucat[pl, e_idx]  # (M, 43)
+        return unc.Pose(
+            q=row[:, :4], t=row[:, 4:7], cov=row[:, 7:].reshape(-1, 6, 6)
+        )
+
     cnt = data.epoch_count[pl]
     e_sel = jnp.where(data.pt_epoch >= cnt, cnt - 2, data.pt_epoch)
-    e_sel = jnp.clip(e_sel, 0, data.unc_q.shape[1] - 1)
-    pose_e = unc.Pose(
-        q=data.unc_q[pl, e_sel], t=data.unc_t[pl, e_sel], cov=data.unc_cov[pl, e_sel]
-    )
-    r_trace = unc.point_uncertainty_trace(p, pose_e)  # (M,)
+    e_sel = jnp.clip(e_sel, 0, E - 1)
+    r_trace = unc.point_uncertainty_trace(p, _epoch_pose(e_sel))  # (M,)
     e_un = jnp.where(data.pt_epoch >= cnt - 1, cnt - 2, data.pt_epoch)
-    e_un = jnp.clip(e_un, 0, data.unc_q.shape[1] - 1)
-    pose_u = unc.Pose(
-        q=data.unc_q[pl, e_un], t=data.unc_t[pl, e_un], cov=data.unc_cov[pl, e_un]
-    )
-    r_trace_un = unc.point_uncertainty_trace(p, pose_u)
+    e_un = jnp.clip(e_un, 0, E - 1)
+    r_trace_un = unc.point_uncertainty_trace(p, _epoch_pose(e_un))
+
+    # --- hoisted LiDAR-table selections: (M, L) one-hot contractions
+    # replace per-iteration (M,)-lane gathers from tiny (L, .) tables,
+    # and the temporal-comp rows are iteration constants ---
+    onehotL = (pl[:, None] == jnp.arange(L)[None, :]).astype(dtype)  # (M, L)
+    tcq_p = onehotL @ data.tc_q  # (M, 4)
+    tct_p = onehotL @ data.tc_t  # (M, 3)
 
     # --- the round's single gathering search (at x0) ---
     _, _, p_world0 = _world_points(x0, data)
@@ -266,10 +290,10 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
         bt = x.ext_t[base]
         is_base = pl == base
 
-        ext_q_p = x.ext_r[pl]
-        ext_t_p = x.ext_t[pl]
-        tcq = data.tc_q[pl]
-        tct = data.tc_t[pl]
+        ext_q_p = onehotL @ x.ext_r
+        ext_t_p = onehotL @ x.ext_t
+        tcq = tcq_p
+        tct = tct_p
 
         # non-base points into the base LiDAR frame via temporal comp
         # (laserMapping.cpp:570-572)
@@ -352,7 +376,7 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
 
         # scatter B at ext_r slot, C_ext at ext_t slot of the point's LiDAR
         slot = jnp.where(is_base, base, pl)
-        onehot = jax.nn.one_hot(slot, L, dtype=dtype)  # (M, L)
+        onehot = (slot[:, None] == jnp.arange(L)[None, :]).astype(dtype)  # (M, L)
         H_ext_r = (onehot[:, :, None] * B_col[:, None, :]).reshape(M, 3 * L)
         H_ext_t = (onehot[:, :, None] * C_ext[:, None, :]).reshape(M, 3 * L)
         if not cfg.extrinsic_est_en:
