@@ -60,8 +60,12 @@ def attribute(trace_dir, hlo_text, top):
         if not mm:
             continue
         om = re.search(r'op_name="([^"]+)"', line)
+        sm = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', line)
         if om:
-            meta[mm.group(1)] = om.group(1)
+            src = om.group(1)
+            if sm:
+                src += " @" + sm.group(1).split("/")[-1] + ":" + sm.group(2)
+            meta[mm.group(1)] = src
 
     agg = collections.Counter()
     cnt = collections.Counter()

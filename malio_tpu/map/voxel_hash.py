@@ -611,3 +611,165 @@ def knn(
         for base, wide in zip(res, w)
     )
     return (*res, jnp.sum(misses(res)).astype(jnp.int32))
+
+
+CACHE_WIDE_K = 16  # wide-escalated lanes keep their top-16 as cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "wide_radius", "wide_budget", "accept_k"),
+)
+def knn_cached(
+    m: VoxelHashMap,
+    queries,
+    radius: int = 1,
+    wide_radius: int = 0,
+    wide_budget: int = 0,
+    qmask=None,
+    accept_d2=5.0,
+    accept_k: int = NUM_MATCH_POINTS,
+):
+    """knn(k = accept_k) plus the FULL base-window candidate cache.
+
+    Returns (nn_pts (Q, ak, 3), nn_covs, nn_d2, nn_cnt, n_miss,
+    cache_pts (Q, C, 3), cache_covs (Q, C), cache_valid (Q, C)) with
+    C = base-window slots (128 at radius 1).
+
+    Rationale (round 4): the IEKF re-search re-ranks a candidate cache at
+    the updated pose. Compacting the window to a top-16 cache cost a
+    take-along gather pass per search (~3 ms at 12k queries); handing the
+    caller the RAW window instead costs nothing (the rows are already
+    gathered) and the re-rank's k-smallest selection over 128 lanes is
+    pure reductions. It also widens the cache margin: the re-rank sees
+    every base-window candidate, not a top-16 subset. Wide-escalated
+    lanes (sparse scenes) can't keep their 208-row window, so they splice
+    their top-CACHE_WIDE_K into the first cache lanes instead."""
+    queries = queries.astype(m.tab.dtype)
+    dtype = m.tab.dtype
+    Q = queries.shape[0]
+    bigv = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    offs = _svx_ball_offsets(radius)
+    V = offs.shape[0]
+    R = m.tab.shape[0]
+    C = V * SLOTS
+
+    qk = voxel_key(m, queries)
+    anchors = _svx(qk - radius)
+    b_all = _hash(anchors[:, None, :] + jnp.asarray(offs)[None, :, :], R)
+    dup = jnp.zeros((Q, V), bool)
+    if V > 1:
+        eq = b_all[:, :, None] == b_all[:, None, :]
+        tri = jnp.asarray(np.tril(np.ones((V, V), bool), -1))
+        dup = jnp.any(eq & tri[None], axis=-1)
+    rows = m.tab[b_all]  # (Q, V, SLOTS, 5)
+    occ = (rows[..., 0] != 0) & (~dup)[..., None]
+    cache_pts = rows[..., 1:4].reshape(Q, C, 3)
+    cache_covs = rows[..., 4].reshape(Q, C)
+    cache_valid = occ.reshape(Q, C)
+    d2 = jnp.sum((cache_pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cache_valid, d2, bigv)
+
+    ak = accept_k
+    nn_d2, idx = topk_min(d2, ak)
+    sel = (idx[..., None] == jnp.arange(C)).astype(dtype)  # (Q, ak, C)
+    nn_pts = jnp.einsum("qkc,qcd->qkd", sel, cache_pts)
+    nn_covs = jnp.einsum("qkc,qc->qk", sel, cache_covs)
+    nn_cnt = jnp.sum(nn_d2 < bigv, axis=-1)
+    accept_d2 = jnp.asarray(accept_d2, dtype)
+
+    def misses(d2k, cnt):
+        need = ~((cnt >= ak) & (d2k[:, ak - 1] <= accept_d2))
+        if qmask is not None:
+            need = need & qmask
+        return need
+
+    if wide_budget <= 0 or wide_radius <= radius:
+        n_miss = jnp.sum(misses(nn_d2, nn_cnt)).astype(jnp.int32)
+        return (
+            nn_pts, nn_covs, nn_d2, nn_cnt, n_miss,
+            cache_pts, cache_covs, cache_valid,
+        )
+
+    # Two-tier budgeted escalation, pay-per-use (VERDICT round-3 item 2):
+    # a SMALL always-on tier covers the measured steady-state demand
+    # (flagship p50 = 8 misses/round) at ~1/16 the gather cost; the full
+    # budget runs under lax.cond only when demand exceeds the small tier
+    # (map bootstrap, tunnels) — at runtime the untaken branch is skipped
+    # on TPU, so dense steady state never pays for reference-reach it
+    # does not use. Both tiers escalate from the SAME base results, so
+    # tier choice never changes a served query's answer.
+    need = misses(nn_d2, nn_cnt)
+    needi = need.astype(jnp.int32)
+    rank = jnp.cumsum(needi) - needi
+    n_esc = jnp.sum(needi)
+    base_res = (nn_pts, nn_covs, nn_d2, nn_cnt,
+                cache_pts, cache_covs, cache_valid)
+
+    def escalate(budget):
+        valid = need & (rank < budget)
+        tgt = jnp.where(
+            valid, rank, budget + jnp.arange(Q, dtype=jnp.int32)
+        )
+        inv = (
+            jnp.full((budget + Q,), Q, jnp.int32)
+            .at[tgt]
+            .set(jnp.arange(Q, dtype=jnp.int32), unique_indices=True)[:budget]
+        )
+        safe = jnp.minimum(inv, Q - 1)
+        w_pts, w_covs, w_d2, w_cnt = _knn_window(
+            m, queries[safe], CACHE_WIDE_K, wide_radius
+        )
+        r = jnp.minimum(rank, budget - 1)
+        vcol = valid[:, None]
+        w_pts_r = w_pts[r]  # (Q, CACHE_WIDE_K, 3) — ONE row gather
+        w_covs_r = w_covs[r]
+        w_d2_r = w_d2[r]
+        w_cnt_r = w_cnt[r]
+        (b_pts, b_covs, b_d2, b_cnt, c_pts, c_covs, c_valid) = base_res
+        # top-ak of the wide results are its first ak lanes (ascending)
+        o_pts = jnp.where(vcol[..., None], w_pts_r[:, :ak], b_pts)
+        o_covs = jnp.where(vcol, w_covs_r[:, :ak], b_covs)
+        o_d2 = jnp.where(vcol, w_d2_r[:, :ak], b_d2)
+        o_cnt = jnp.where(valid, jnp.minimum(w_cnt_r, ak), b_cnt)
+        # escalated lanes: cache = their wide top-CACHE_WIDE_K; lanes
+        # beyond it are invalid, so zero-pad by concatenation (NO fancy
+        # indexing — a (Q, C)-shaped re-gather lowered to per-query
+        # dynamic slices)
+        lanes = jnp.arange(C)
+        pad_pts = jnp.concatenate(
+            [w_pts_r, jnp.zeros((Q, C - CACHE_WIDE_K, 3), dtype)], axis=1
+        )
+        pad_covs = jnp.concatenate(
+            [w_covs_r, jnp.zeros((Q, C - CACHE_WIDE_K), dtype)], axis=1
+        )
+        pad_valid = (
+            lanes[None, :] < jnp.minimum(w_cnt_r, CACHE_WIDE_K)[:, None]
+        )
+        return (
+            o_pts, o_covs, o_d2, o_cnt,
+            jnp.where(vcol[..., None], pad_pts, c_pts),
+            jnp.where(vcol, pad_covs, c_covs),
+            jnp.where(vcol, pad_valid, c_valid),
+        )
+
+    # small tier = 256: flagship steady-state PRE-wide demand measured
+    # ~130/round (1.5% of queries) on the dense City-like world; 256 gives
+    # 2x margin, and demand spikes (bootstrap, tunnels) take the full
+    # budget via the cond
+    small = min(256, wide_budget)
+    if small < wide_budget:
+        res = jax.lax.cond(
+            n_esc > small,
+            lambda _: escalate(wide_budget),
+            lambda _: escalate(small),
+            None,
+        )
+    else:
+        res = escalate(wide_budget)
+    (nn_pts, nn_covs, nn_d2, nn_cnt, cache_pts, cache_covs, cache_valid) = res
+    n_miss = jnp.sum(misses(nn_d2, nn_cnt)).astype(jnp.int32)
+    return (
+        nn_pts, nn_covs, nn_d2, nn_cnt, n_miss,
+        cache_pts, cache_covs, cache_valid,
+    )

@@ -72,7 +72,7 @@ class HShareCache(NamedTuple):
     # gathering search (the wide-escalation demand signal, voxel_hash.knn)
 
 
-def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
+def init_cache(M: int, dtype=jnp.float32, cand_k: int = CAND_K) -> HShareCache:
     return HShareCache(
         normal=jnp.zeros((M, 3), dtype),
         d=jnp.zeros((M,), dtype),
@@ -83,9 +83,9 @@ def init_cache(M: int, dtype=jnp.float32) -> HShareCache:
         normal_y=jnp.zeros((M,), dtype),
         nn_pts=jnp.zeros((M, NUM_MATCH, 3), dtype),
         nn_cnt=jnp.zeros((M,), jnp.int32),
-        cand_pts=jnp.zeros((M, CAND_K, 3), dtype),
-        cand_covs=jnp.zeros((M, CAND_K), dtype),
-        cand_valid=jnp.zeros((M, CAND_K), bool),
+        cand_pts=jnp.zeros((M, cand_k, 3), dtype),
+        cand_covs=jnp.zeros((M, cand_k), dtype),
+        cand_valid=jnp.zeros((M, cand_k), bool),
         n_miss=jnp.zeros((), jnp.int32),
     )
 
@@ -252,10 +252,9 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
 
     # --- the round's single gathering search (at x0) ---
     _, _, p_world0 = _world_points(x0, data)
-    c_pts, c_covs, c_d2, c_cnt, n_miss = vh.knn(
+    (_, _, _, _, n_miss, cand_pts, c_covs, cand_valid) = vh.knn_cached(
         map_state,
         p_world0,
-        k=CAND_K,
         radius=cfg.knn_radius,
         wide_radius=cfg.knn_wide_radius,
         wide_budget=cfg.knn_wide_budget,
@@ -263,10 +262,9 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
         accept_d2=NN_REJECT_D2,
         accept_k=NUM_MATCH,
     )
-    cand_valid = jnp.arange(CAND_K)[None, :] < c_cnt[:, None]
     cand_covs = jnp.where(cand_valid, c_covs, 0.0)
     (normal0, d0, plane_valid0, plane_cov0, searched0, nn_pts0, nn_cnt0) = (
-        _rank_and_fit(cfg, c_pts, cand_covs, cand_valid, data.pt_mask, p_world0, dtype)
+        _rank_and_fit(cfg, cand_pts, cand_covs, cand_valid, data.pt_mask, p_world0, dtype)
     )
     cache0 = HShareCache(
         normal=normal0,
@@ -278,7 +276,7 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
         normal_y=jnp.zeros((M,), dtype),
         nn_pts=nn_pts0,
         nn_cnt=nn_cnt0,
-        cand_pts=c_pts,
+        cand_pts=cand_pts,
         cand_covs=cand_covs,
         cand_valid=cand_valid,
         n_miss=n_miss,
