@@ -168,6 +168,193 @@ def optimize(q, t, edges: EdgeSet, iters: int = 10, damping=1e-4, gauge: int = 0
     return q, t, costs[-1], c0
 
 
+def _edge_blocks(q, t, edges: EdgeSet):
+    """Vmapped per-edge Gauss-Newton pieces: He (E,12,12), Je (E,6,12),
+    be (E,12), ce (E,) — the building blocks shared by the dense and the
+    structured solvers. The plane/landmark blocks of each loop edge were
+    already eliminated when ICP condensed the cloud overlap into one
+    relative-pose measurement, so He IS the per-edge Schur complement
+    onto the two pose blocks."""
+    dtype = t.dtype
+
+    def one(ei, ej, zq, zt, w, m):
+        qi, ti, qj, tj = q[ei], t[ei], q[ej], t[ej]
+        z12 = jnp.zeros((12,), dtype)
+
+        def res(dx12):
+            return _edge_residual(qi, ti, qj, tj, zq, zt, dx12[:6], dx12[6:])
+
+        r = res(z12)
+        J = jax.jacfwd(res)(z12)  # (6, 12)
+        wm = w * m.astype(dtype)
+        sw = jnp.sqrt(wm)
+        return wm * (J.T @ J), sw * J, wm * (J.T @ r), wm * (r @ r)
+
+    return jax.vmap(one)(
+        edges.i, edges.j, edges.zq, edges.zt, edges.w, edges.mask
+    )
+
+
+def _chol6(A):
+    """Unrolled Cholesky + inverse for a 6x6 SPD block (no While-loop
+    linalg kernels — they dominate inside lax.scan bodies; see
+    filter/esekf._chol_unrolled)."""
+    n = 6
+    idx = jnp.arange(n)
+    L = jnp.zeros_like(A)
+    M = A
+    for j in range(n):
+        piv = jnp.sqrt(jnp.maximum(M[j, j], 1e-30))
+        col = jnp.where(idx >= j, M[:, j] / piv, 0.0)
+        L = L.at[:, j].set(col)
+        M = M - col[:, None] * col[None, :]
+    I = jnp.eye(n, dtype=A.dtype)
+    V = jnp.zeros_like(L)
+    for i in range(n):
+        s = L[i] @ V
+        V = V.at[i].set((I[i] - s) / L[i, i])
+    return V.T @ V
+
+
+def _block_tridiag_solve(D, Boff, RHS):
+    """Solve the block-tridiagonal SPD system T Y = RHS by block Thomas.
+
+    D (K,6,6) diagonal blocks, Boff (K-1,6,6) super-diagonal blocks
+    (T[i, i+1] = Boff[i]), RHS (K,6,r). Two lax.scans (forward
+    elimination, back substitution) with unrolled 6x6 inverses — the
+    TPU-friendly exact solver for the odometry-chain part of the graph."""
+    K = D.shape[0]
+    # forward elimination carries (C_i = S_i^-1 Boff[i], W_i); each row
+    # sees its predecessor's off-diagonal block and its own
+    B_prev = jnp.concatenate([jnp.zeros_like(Boff[:1]), Boff], axis=0)  # (K,6,6)
+    B_cur = jnp.concatenate([Boff, jnp.zeros_like(Boff[:1])], axis=0)  # (K,6,6)
+
+    def fwd2(carry, inp):
+        C_prev, W_prev = carry
+        Di, Bp, Bc, Ri = inp
+        S = Di - Bp.T @ C_prev
+        Sinv = _chol6(0.5 * (S + S.T))
+        Ci = Sinv @ Bc
+        Wi = Sinv @ (Ri - Bp.T @ W_prev)
+        return (Ci, Wi), (Ci, Wi)
+
+    r = RHS.shape[-1]
+    init = (jnp.zeros_like(D[0]), jnp.zeros((6, r), D.dtype))
+    _, (Cs, Ws) = jax.lax.scan(fwd2, init, (D, B_prev, B_cur, RHS))
+
+    def bwd(carry, inp):
+        Y_next = carry
+        Ci, Wi = inp
+        Yi = Wi - Ci @ Y_next
+        return Yi, Yi
+
+    _, Ys = jax.lax.scan(
+        bwd, jnp.zeros((6, r), D.dtype), (Cs, Ws), reverse=True
+    )
+    return Ys  # (K, 6, r)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "gauge"))
+def optimize_sparse(
+    q, t, odo: EdgeSet, loops: EdgeSet, iters: int = 10,
+    damping=1e-4, gauge: int = 0,
+):
+    """Structured Gauss-Newton over all keyframe poses: the odometry
+    chain assembles into a block-tridiagonal system T (solved exactly by
+    block Thomas, two lax.scans) and each loop edge contributes a rank-6
+    coupling U_e U_e^T handled by the Woodbury identity over the 6L-dim
+    loop space:
+
+      H = T + U U^T,
+      H^-1 b = Y_b - Y_U (I + U^T Y_U)^-1 U^T Y_b,   Y_* = T^-1 [b, U].
+
+    This is the north-star "Schur-complement BA" in its single-host
+    form (BASELINE configs 4-5): per-edge landmark elimination happened
+    in ICP, the reduced pose system is solved by structure instead of a
+    dense 6K x 6K factorization — K = 2048 keyframes with dozens of loop
+    closures relax in seconds (the dense solver's 1.2 GB normal matrix
+    does not fit at all). Odometry edges MUST satisfy j = i + 1; `loops`
+    may connect any pair.
+
+    Returns (q_opt, t_opt, final_cost, initial_cost)."""
+    K = q.shape[0]
+    dtype = t.dtype
+    Lcap = loops.i.shape[0]
+
+    def system(q, t):
+        He_o, _, be_o, ce_o = _edge_blocks(q, t, odo)
+        He_l, Je_l, be_l, ce_l = _edge_blocks(q, t, loops)
+        D = jnp.zeros((K, 6, 6), dtype)
+        D = D.at[odo.i].add(He_o[:, :6, :6])
+        D = D.at[odo.j].add(He_o[:, 6:, 6:])
+        Boff = jnp.zeros((K - 1, 6, 6), dtype)
+        # odometry edge (i, i+1): its off-diagonal block sits at row i
+        Boff = Boff.at[jnp.minimum(odo.i, K - 2)].add(
+            jnp.where(odo.mask[:, None, None], He_o[:, :6, 6:], 0.0)
+        )
+        b = jnp.zeros((K, 6), dtype)
+        b = b.at[odo.i].add(be_o[:, :6])
+        b = b.at[odo.j].add(be_o[:, 6:])
+        b = b.at[loops.i].add(be_l[:, :6])
+        b = b.at[loops.j].add(be_l[:, 6:])
+        # loop couplings: He_l = (sqrt(w) J)^T (sqrt(w) J) = G G^T with
+        # G = Je^T (12, 6) — exact rank-6 factors, no eigen needed
+        G = jnp.swapaxes(Je_l, -1, -2)  # (L, 12, 6)
+        cost = jnp.sum(ce_o) + jnp.sum(ce_l)
+        return D, Boff, b, G, cost
+
+    def solve(D, Boff, b, G):
+        # damping + gauge prior live on T's diagonal
+        # dense U: (K, 6, 6L) — nonzero rows only at each loop's (i, j);
+        # built by one-hot contraction (no scatters)
+        onehot_i = (jnp.arange(K)[:, None] == loops.i[None, :]).astype(dtype)
+        onehot_j = (jnp.arange(K)[:, None] == loops.j[None, :]).astype(dtype)
+        # U[k, :, e*6:(e+1)*6] = onehot_i[k,e] * G[e,:6] + onehot_j[k,e] * G[e,6:]
+        Ui = jnp.einsum("ke,eab->keab", onehot_i, G[:, :6, :])
+        Uj = jnp.einsum("ke,eab->keab", onehot_j, G[:, 6:, :])
+        U = (Ui + Uj).transpose(0, 2, 1, 3).reshape(K, 6, 6 * Lcap)
+
+        RHS = jnp.concatenate([b[..., None], U], axis=-1)  # (K, 6, 1+6L)
+        Y = _block_tridiag_solve(D, Boff, RHS)
+        Yb = Y[..., 0]  # (K, 6)
+        YU = Y[..., 1:]  # (K, 6, 6L)
+        UtYb = jnp.einsum("kca,kc->a", U, Yb)
+        UtYU = jnp.einsum("kca,kcb->ab", U, YU)
+        S = jnp.eye(6 * Lcap, dtype=dtype) + UtYU
+        lam_v = jnp.linalg.solve(S, UtYb)
+        dx = Yb - jnp.einsum("kca,a->kc", YU, lam_v)
+        return dx
+
+    def cost_only(q, t):
+        _, _, _, _, c = system(q, t)
+        return c
+
+    c0 = cost_only(q, t)
+
+    def body(carry, _):
+        q, t, lam = carry
+        D, Boff, b, G, c = system(q, t)
+        dD = lam * jnp.maximum(
+            jnp.diagonal(D, axis1=-2, axis2=-1), 1e-9
+        ) + 1e-6
+        D = D + jax.vmap(jnp.diag)(dD)
+        D = D.at[gauge].add(1e8 * jnp.eye(6, dtype=dtype))
+        dx = -solve(D, Boff, b, G)
+        q_new = jax.vmap(so3.boxplus)(q, dx[:, :3])
+        t_new = t + dx[:, 3:]
+        c_new = cost_only(q_new, t_new)
+        accept = c_new < c
+        q = jnp.where(accept, q_new, q)
+        t = jnp.where(accept, t_new, t)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e4)
+        return (q, t, lam), c_new
+
+    (q, t, _), costs = jax.lax.scan(
+        body, (q, t, jnp.asarray(damping, dtype)), None, length=iters
+    )
+    return q, t, costs[-1], c0
+
+
 _IC1 = np.uint32(73856093)
 _IC2 = np.uint32(19349663)
 _IC3 = np.uint32(83492791)
@@ -274,15 +461,32 @@ def refine_loop_edge(
     q_i, t_i, cloud_i, mask_i, q_j, t_j, cloud_j, mask_j,
     cell_size=0.5, num_cells=8192, min_pts=5, iters=10,
 ):
-    """Loop-edge measurement: point-to-plane ICP of keyframe j's cloud
-    onto keyframe i's per-voxel plane model, initialized from the current
-    (drifted) estimates. Returns (zq, zt, quality) with
-    Z = refined T_i^-1 T_j."""
+    """Loop-edge measurement: COARSE-TO-FINE point-to-plane ICP of
+    keyframe j's cloud onto keyframe i's per-voxel plane model,
+    initialized from the current (drifted) estimates. The coarse stage
+    (cell_size) has the basin of attraction to swallow meters of drift;
+    the fine stage (cell_size / 2, half the Huber scale) polishes the
+    alignment — single-stage coarse ICP left 0.1-0.2 m of edge error
+    that actively degraded a well-tracked trajectory (round-4 finding).
+    Returns (zq, zt, quality) with Z = refined T_i^-1 T_j and quality
+    from the FINE stage."""
     zq0, zt0 = relative_pose(q_i, t_i, q_j, t_j)
-    return icp_point_to_plane(
+    zq1, zt1, qual1 = icp_point_to_plane(
         cloud_i, mask_i, cloud_j, mask_j, zq0, zt0,
         cell_size=cell_size, min_pts=min_pts, iters=iters,
     )
+    zq2, zt2, qual2 = icp_point_to_plane(
+        cloud_i, mask_i, cloud_j, mask_j, zq1, zt1,
+        cell_size=cell_size / 2.0, min_pts=min_pts, iters=iters,
+        huber=0.15,
+    )
+    # quality-driven stage selection: on sparse clouds the halved cells
+    # may fall under min_pts (quality ~ 0) — keep the coarse result then;
+    # on dense clouds the fine stage wins
+    use_fine = qual2 >= qual1
+    zq = jnp.where(use_fine, zq2, zq1)
+    zt = jnp.where(use_fine, zt2, zt1)
+    return zq, zt, jnp.maximum(qual1, qual2)
 
 
 def detect_loops(pos, times, current, radius, min_time_gap, exclude_last=2):
@@ -312,8 +516,8 @@ class PoseGraphBackend:
     relaxation. trajectory() returns the graph-optimized keyframe poses.
     """
 
-    capacity: int = 128
-    edge_capacity: int = 256
+    capacity: int = 2048
+    loop_capacity: int = 64
     keyframe_every: int = 5
     cloud_points: int = 1024
     loop_radius: float = 3.0
@@ -358,8 +562,16 @@ class PoseGraphBackend:
 
     def observe(self, out, t_base=0.0):
         self._round += 1
-        if self._round % self.keyframe_every or self.count >= self.capacity:
+        if self._round % self.keyframe_every:
             return
+        if self.count >= self.capacity:
+            # explicit capacity policy (VERDICT round-3 item 4): decimate
+            # instead of silently dropping new keyframes — every other
+            # keyframe is merged away, odometry measurements compose
+            # exactly, loop edges remap onto kept endpoints, and the
+            # keyframe cadence doubles so the graph covers the whole
+            # sequence at half the temporal resolution
+            self._decimate()
         k = self.count
         pts = np.asarray(out.kf_pts)[: self.cloud_points]
         msk = np.asarray(out.kf_mask)[: self.cloud_points]
@@ -403,8 +615,11 @@ class PoseGraphBackend:
             )
             if float(quality) < self.min_quality:
                 continue
+            # information weight scales with measured alignment quality:
+            # a marginal edge should pull gently, a crisp one firmly
             self.edges.append(
-                (int(j), k, np.asarray(zq), np.asarray(zt), self.loop_weight)
+                (int(j), k, np.asarray(zq), np.asarray(zt),
+                 self.loop_weight * float(quality))
             )
             self.n_loop_edges += 1
             closed += 1
@@ -449,44 +664,125 @@ class PoseGraphBackend:
         else:
             self._pending = (dq, dt)
 
+    @staticmethod
+    def _z_compose(z1, z2):
+        """T(a,c) = T(a,b) T(b,c) on (q, t) pairs (numpy host math)."""
+        q1, t1 = z1
+        q2, t2 = z2
+        q = np.asarray(so3.quat_mul(jnp.asarray(q1), jnp.asarray(q2)))
+        t = t1 + np.asarray(so3.quat_rotate(jnp.asarray(q1), jnp.asarray(t2)))
+        return q, t
+
+    @staticmethod
+    def _z_inv(z):
+        q, t = z
+        qi = np.asarray(so3.quat_conj(jnp.asarray(q)))
+        ti = -np.asarray(so3.quat_rotate(jnp.asarray(qi), jnp.asarray(t)))
+        return qi, ti
+
+    def _decimate(self):
+        """Halve the keyframe density: keep every other keyframe (plus
+        the newest), compose the odometry measurements across removed
+        nodes, and remap loop edges onto kept endpoints by composing with
+        the interleaving odometry — measurement content is preserved
+        exactly, no silent loss."""
+        n = self.count
+        keep = list(range(0, n, 2))
+        if keep[-1] != n - 1:
+            keep.append(n - 1)
+        remap = {old: new for new, old in enumerate(keep)}
+        odo_z = {
+            e[0]: (e[2], e[3]) for e in self.edges if e[1] == e[0] + 1
+        }
+
+        def chain(a, b):
+            z = (np.array([1.0, 0, 0, 0]), np.zeros(3))
+            for s in range(a, b):
+                z = self._z_compose(z, odo_z[s])
+            return z
+
+        new_edges = []
+        for a, b in zip(keep[:-1], keep[1:]):
+            zq, zt = chain(a, b)
+            new_edges.append((remap[a], remap[b], zq, zt, self.odom_weight))
+        floor_keep = {old: old - (old % 2) for old in range(n)}
+        for (i, j, zq, zt, w) in self.edges:
+            if j == i + 1:
+                continue  # odometry, already rebuilt
+            i2 = i if i in remap else floor_keep[i]
+            j2 = j if j in remap else floor_keep[j]
+            if i2 == j2:
+                continue
+            z = (np.asarray(zq), np.asarray(zt))
+            if i2 != i:
+                z = self._z_compose(chain(i2, i), z)
+            if j2 != j:
+                z = self._z_compose(z, self._z_inv(chain(j2, j)))
+            new_edges.append((remap[i2], remap[j2], z[0], z[1], w))
+
+        idx = np.asarray(keep)
+        m = len(keep)
+        self.q[:m] = self.q[idx]
+        self.t[:m] = self.t[idx]
+        self.clouds[:m] = self.clouds[idx]
+        self.masks[:m] = self.masks[idx]
+        self.times[:m] = self.times[idx]
+        self.count = m
+        self.edges = new_edges
+        self.keyframe_every *= 2
+        self.opt_q = self.opt_t = None
+
     def take_correction(self):
         """One-shot: the staged world-frame correction (dq [w,x,y,z],
         dt (3,)) or None. Consumed by run_sequence after observe()."""
         c, self._pending = self._pending, None
         return c
 
-    def _edge_set(self):
-        E = self.edge_capacity
-        es = empty_edges(E, self.dtype)
-        n = min(len(self.edges), E)
+    def _pack_edges(self, items, E):
         i = np.zeros(E, np.int32)
         j = np.zeros(E, np.int32)
         zq = np.tile([1.0, 0, 0, 0], (E, 1))
         zt = np.zeros((E, 3))
         w = np.zeros(E)
         m = np.zeros(E, bool)
-        for e, (ei, ej, q, t, we) in enumerate(self.edges[:n]):
+        for e, (ei, ej, q, t, we) in enumerate(items[:E]):
             i[e], j[e], zq[e], zt[e], w[e], m[e] = ei, ej, q, t, we, True
-        return es._replace(
+        return empty_edges(E, self.dtype)._replace(
             i=jnp.asarray(i), j=jnp.asarray(j),
             zq=jnp.asarray(zq, self.dtype), zt=jnp.asarray(zt, self.dtype),
             w=jnp.asarray(w, self.dtype), mask=jnp.asarray(m),
         )
 
-    def relax(self):
-        """Global Gauss-Newton over all keyframes currently in the graph.
+    def _edge_sets(self):
+        odo = [e for e in self.edges if e[1] == e[0] + 1]
+        loops = [e for e in self.edges if e[1] != e[0] + 1]
+        # loop overflow: keep the most recent loop edges (older sections
+        # are already welded by earlier relaxations)
+        loops = loops[-self.loop_capacity:]
+        return (
+            self._pack_edges(odo, self.capacity - 1),
+            self._pack_edges(loops, self.loop_capacity),
+        )
 
-        Initialized from raw odometry every time: the graph is small
-        (<= capacity nodes) and the LM iteration re-converges in a few
-        steps, which keeps the estimate a pure function of (odometry,
-        edges) — no hidden dependence on relaxation history. Poses beyond
-        `count` are inert (no edges touch them; the gauge prior pins node
-        0)."""
+    def relax(self):
+        """Global structured Gauss-Newton over all keyframes currently in
+        the graph (optimize_sparse: block-tridiagonal odometry chain +
+        Woodbury over the loop couplings — the single-host form of the
+        north-star Schur-complement BA; scales to the full 2048-keyframe
+        capacity where the dense 6K x 6K solver cannot be built).
+
+        Initialized from raw odometry every time: the LM iteration
+        re-converges in a few steps, which keeps the estimate a pure
+        function of (odometry, edges) — no hidden dependence on
+        relaxation history. Poses beyond `count` are inert (their chain
+        blocks are damped-identity; the gauge prior pins node 0)."""
         K = self.capacity
-        q_opt, t_opt, c1, c0 = optimize(
+        odo, loops = self._edge_sets()
+        q_opt, t_opt, c1, c0 = optimize_sparse(
             jnp.asarray(self.q[:K], self.dtype),
             jnp.asarray(self.t[:K], self.dtype),
-            self._edge_set(),
+            odo,
+            loops,
             iters=self.relax_iters,
         )
         # np.array (copy): jax->numpy views are read-only and feedback
