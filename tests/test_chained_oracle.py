@@ -393,6 +393,7 @@ def _run_malio(cfg, imu, rounds, init, **cfg_overrides):
                 P=np.asarray(carry.P),
                 n_eff=int(step_out.n_effective),
                 map_size=int(step_out.map_size),
+                map_dropped=int(step_out.map_dropped),
                 t_abs=float(step_out.end_time) + base,
             )
         )
@@ -509,3 +510,45 @@ def test_chained_oracle_quantifies_knn_narrowing_and_single_search():
         assert err < etol, (tag, err)
     # attribution: both knobs diverge >= 5x the default's parity
     assert results["narrow"][0] > 0.08, results
+
+
+@pytest.mark.slow
+def test_insert_drop_policy_trajectory_cost():
+    """VERDICT round-3 item 8: quantify the fixed-capacity insert's drop
+    policy at TRAJECTORY level. Run the same scenario at a map capacity
+    small enough to overload the supervoxel rows (load >~ 0.5, real
+    drops) and at double that capacity (negligible drops); the
+    trajectory cost of the drops must stay within the estimator's own
+    noise floor — the reference's ikd-tree never drops
+    (ikd_Tree.cpp:488-584), so this bounds the divergence our
+    fixed-shape map introduces under memory pressure."""
+    cfg = _cfg()
+    imu, rounds, traj = _scenario(cfg)
+    init = _shared_init(cfg, imu, rounds, traj)
+
+    # capacity 1<<11 = 2048 slots: the scenario stores ~1.2-1.6k voxels,
+    # pushing row loads into the Poisson-overflow regime
+    tight = _run_malio(cfg, imu, rounds, init, map_capacity=1 << 11)
+    roomy = _run_malio(cfg, imu, rounds, init, map_capacity=1 << 12)
+
+    p_t = np.stack([m["pos"] for m in tight])
+    p_r = np.stack([m["pos"] for m in roomy])
+    assert np.isfinite(p_t).all() and np.isfinite(p_r).all()
+    drops_t = tight[-1]["map_dropped"]
+    drops_r = roomy[-1]["map_dropped"]
+    size_r = roomy[-1]["map_size"]
+    load_t = size_r / (1 << 11)  # roomy size ~ offered voxels
+    assert load_t >= 0.4, load_t  # the tight run is genuinely loaded
+    assert drops_t > drops_r, (drops_t, drops_r)
+
+    cross = ate.ate_rmse(p_t, p_r, align=False)
+    ts = np.array([m["t_abs"] for m in tight])
+    err_t = ate.ate_rmse(p_t, traj.pos(ts), align=False)
+    err_r = ate.ate_rmse(p_r, traj.pos(np.array([m["t_abs"] for m in roomy])), align=False)
+    # the drop-induced divergence stays well inside the estimator's own
+    # ground-truth error (numbers recorded in benchmarks/RESULTS.md)
+    assert cross < 0.5 * max(err_t, err_r) + 0.02, (cross, err_t, err_r)
+    print(
+        f"drop quantification: load {load_t:.2f}, drops {drops_t} vs "
+        f"{drops_r}, cross-ATE {cross:.4f} m, gt err {err_t:.3f}/{err_r:.3f} m"
+    )
