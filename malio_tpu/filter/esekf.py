@@ -232,6 +232,15 @@ def update_iterated(
         # assembly precision (~1e-7 relative on a 12k-term sum) is far
         # inside the measurement noise — the round-3 f32 detonation was a
         # property of the SOLVE, which stays f64
+        # Gram assembly stays FULLY f64 (multiplies AND accumulation).
+        # Measured at the City working point (round 4): HtWH has
+        # eigenvalues spanning -2e-8 .. 1.3e9 (condition ~1e17), so even
+        # f32 products under f64 accumulation (1.8e-9 relative error =
+        # ~2 ABSOLUTE) corrupt the small eigendirections that encode the
+        # weakly observed state and the filter detonates within two
+        # rounds; the f64 pipeline's 1e-15 relative error is what keeps
+        # them meaningful. This single M-sized f64 matmul costs ~0.3 ms
+        # per iteration — the price of a usable information matrix.
         w_mask = res.mask.astype(sdtype)
         R_eff = jnp.where(res.R < r_floor_check, r_floor_value, res.R).astype(sdtype)
         w = w_mask / R_eff  # (M,)

@@ -657,6 +657,11 @@ def knn_cached(
     qk = voxel_key(m, queries)
     anchors = _svx(qk - radius)
     b_all = _hash(anchors[:, None, :] + jnp.asarray(offs)[None, :, :], R)
+    if qmask is not None:
+        # masked (padded) lanes all fetch row 0 — cache-hot, so ~zero HBM
+        # traffic for the ~30% padding of a flagship round; their
+        # candidates are invalidated below
+        b_all = jnp.where(qmask[:, None], b_all, 0)
     dup = jnp.zeros((Q, V), bool)
     if V > 1:
         eq = b_all[:, :, None] == b_all[:, None, :]
@@ -664,6 +669,8 @@ def knn_cached(
         dup = jnp.any(eq & tri[None], axis=-1)
     rows = m.tab[b_all]  # (Q, V, SLOTS, 5)
     occ = (rows[..., 0] != 0) & (~dup)[..., None]
+    if qmask is not None:
+        occ = occ & qmask[:, None, None]
     cache_pts = rows[..., 1:4].reshape(Q, C, 3)
     cache_covs = rows[..., 4].reshape(Q, C)
     cache_valid = occ.reshape(Q, C)

@@ -189,12 +189,13 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
     box_min, box_max, box_init, moved = _fov_segment(
         cfg, carry.box_min, carry.box_max, carry.box_init, pos_lid
     )
-    map_state = jax.lax.cond(
-        moved,
-        lambda m: vh.evict_outside(m, box_min, box_max),
-        lambda m: m,
-        carry.map,
-    )
+    # eviction runs UNCONDITIONALLY with an infinite box when the local
+    # map did not move: one masked full-table pass (~bandwidth cost)
+    # instead of a lax.cond whose identity branch copies the whole table
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    e_min = jnp.where(moved, box_min, -big)
+    e_max = jnp.where(moved, box_max, big)
+    map_state = vh.evict_outside(carry.map, e_min, e_max)
 
     # ---- per-LiDAR/epoch pose uncertainty composition
     # (laserMapping.cpp:1027-1048) ----
