@@ -8,7 +8,12 @@ from malio_tpu.batched import synthetic_batched_benchmark
 
 @pytest.mark.slow
 def test_batched_benchmark_smoke():
-    res = synthetic_batched_benchmark(batch=2, duration=3.0, points=512, warmup=2)
+    # chunk=4: with the default chunk of 16 this short stream is a
+    # single chunk, so the timed window is empty and the aggregate is
+    # (correctly) reported as no-measurement
+    res = synthetic_batched_benchmark(
+        batch=2, duration=3.0, points=512, warmup=2, chunk=4
+    )
     assert res["rounds"] > 10
     assert np.isfinite(res["aggregate_scans_per_sec"])
     assert len(res["ates"]) == 2
