@@ -22,9 +22,12 @@ microbenchmarks — see benchmarks/RESULTS.md round 4):
     [fp, x, y, z, cov] — fingerprint and record fused. A row is keyed by
     a SUPERVOXEL: a 2x2x2 block of map voxels (key >> 1). Because the map
     stores at most one point per voxel, one supervoxel contributes at
-    most 8 records, so a 16-slot row holds ~2 full supervoxels — hash
-    collisions between supervoxels share a row gracefully instead of
-    overflowing it;
+    most 8 records, so a 32-slot row holds ~4 full supervoxels — hash
+    collisions between supervoxels share a row gracefully, and the
+    Poisson row-overflow tail that SLOTS=16 left (515 drops over a
+    flagship run, a few % at volumetric overload) measures ZERO drops at
+    the same capacity with row fetch cost unchanged (row reads are
+    latency-dominated: 640 B costs what 320 B costs);
   * the payoff is the k-NN fetch count: the (2r+1)^3-cell neighborhood of
     a query is covered by at most (r+1)^3 supervoxels, so the radius-1
     base search fetches 8 rows per query instead of the round-3 design's
@@ -67,7 +70,11 @@ _F1 = np.int32(1540483477)
 _F2 = np.int32(1274126177)
 _F3 = np.int32(868864169)
 
-SLOTS = 16  # slots per supervoxel row (~2 full supervoxels)
+SLOTS = 32  # slots per supervoxel row (~4 full supervoxels). A/B'd
+# against 16 on the v5e: throughput neutral (row fetches are
+# latency-bound, not byte-bound at this width) while insert drops at the
+# City flagship shape go 515 -> 0 — the wider row absorbs the Poisson
+# supervoxel-collision tail
 NUM_MATCH_POINTS = 5  # common_lib.h:22
 
 # legacy aliases (kept for external sizing math/comments)

@@ -208,15 +208,15 @@ def test_volumetric_overload_bounded_and_counted():
 
 def test_insert_overflow_counted():
     """Candidates that cannot claim a slot are dropped and counted."""
-    cap = 16  # minimum: two bucket rows (one pair window)
+    cap = vh.SLOTS  # a single supervoxel row
     m = vh.create(cap, 0.5, jnp.float64)
     pts = jnp.asarray(rng.uniform(-50, 50, size=(200, 3)))
     m = vh.insert(m, pts, jnp.full((200,), 0.1), jnp.ones(200, bool))
-    # every slot of the single pair window is reachable, no more
+    # every slot of the single row is reachable, no more
     assert int(vh.size(m)) <= cap
     assert int(m.n_dropped) > 0
     # dropped + stored covers every distinct offered voxel at most once
-    assert int(vh.size(m)) + int(m.n_dropped) >= 16
+    assert int(vh.size(m)) + int(m.n_dropped) >= cap
 
 
 def test_flatten_extract_points():
