@@ -114,8 +114,17 @@ def _chol_unrolled(A, pivot_floor):
     L = jnp.zeros_like(A)
     M = A
     for j in range(n):
+        hit = M[j, j] < pivot_floor
         piv = jnp.sqrt(jnp.maximum(M[j, j], pivot_floor))
         col = jnp.where(idx >= j, M[:, j] / piv, 0.0)
+        # modified-Cholesky treatment of a floored pivot: keep only the
+        # diagonal entry sqrt(floor) and ZERO the below-diagonal column.
+        # Dividing a genuinely indefinite column by sqrt(floor) would
+        # amplify it ~1/sqrt(floor) and silently poison every subsequent
+        # rank-1 downdate; truncating decouples the bad direction instead
+        # (the equilibrated operand makes the fixed relative floor
+        # principled).
+        col = jnp.where(hit, jnp.where(idx == j, piv, 0.0), col)
         L = L.at[:, j].set(col)
         M = M - col[:, None] * col[None, :]
     return L
@@ -258,7 +267,15 @@ def update_iterated(
         # rarely after), via lax.cond so the expensive branch is skipped
         # at runtime — ~70 sequential micro-ops per _spd_inverse were the
         # solve's dominant cost (round-4 profile).
-        r0 = jnp.max(jnp.abs(I_n - P_temp @ Pi_prev))
+        # warm-start gate on a TRUE spectral-norm bound: for E = I - A X,
+        # ||E||_2 <= sqrt(||E||_1 ||E||_inf) (max abs col-sum x max abs
+        # row-sum). The elementwise max alone does NOT bound the spectral
+        # norm at n = 35 (it can undercount by ~n), and Newton-Schulz
+        # convergence is governed by ||E||_2 < 1 — with the bound under
+        # 0.3, four doubling steps reach residual 0.3^16 ~ 4e-9.
+        E0 = I_n - P_temp @ Pi_prev
+        aE0 = jnp.abs(E0)
+        r0 = jnp.sqrt(jnp.max(jnp.sum(aE0, axis=0)) * jnp.max(jnp.sum(aE0, axis=1)))
 
         def warm(_):
             X = Pi_prev

@@ -86,6 +86,12 @@ class VoxelHashMap(NamedTuple):
     tab: jnp.ndarray  # (R, SLOTS, 5) fused rows [fp, x, y, z, cov]
     voxel_size: jnp.ndarray  # ()
     n_dropped: jnp.ndarray  # () int32 cumulative insert overflow drops
+    n_evicted: jnp.ndarray  # () int32 cumulative evict-replace
+    # displacements: stored records overwritten by a strictly better
+    # candidate when their row was full (case C of insert). Counted
+    # separately from n_dropped so "every map loss is counted" stays
+    # honest across batches — a displaced record is lost map content
+    # even though the offered candidate was admitted
 
     # convenience views (not pytree leaves); batch-safe (leading axes of a
     # stacked/vmapped map pass through)
@@ -124,6 +130,7 @@ def create(capacity: int, voxel_size: float, dtype=jnp.float32) -> VoxelHashMap:
         tab=tab,
         voxel_size=jnp.asarray(voxel_size, dtype),
         n_dropped=jnp.asarray(0, jnp.int32),
+        n_evicted=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -286,8 +293,11 @@ def insert(m: VoxelHashMap, pts, covs, mask) -> VoxelHashMap:
     flat = jnp.concatenate([m.tab.reshape(T, 5), jnp.zeros((N, 5), dtype)], axis=0)
     flat = flat.at[tgt].set(rec_s, unique_indices=True)
     dropped = jnp.sum(over & ~evict).astype(jnp.int32)
+    evicted = jnp.sum(evict).astype(jnp.int32)
     return m._replace(
-        tab=flat[:T].reshape(R, SLOTS, 5), n_dropped=m.n_dropped + dropped
+        tab=flat[:T].reshape(R, SLOTS, 5),
+        n_dropped=m.n_dropped + dropped,
+        n_evicted=m.n_evicted + evicted,
     )
 
 
@@ -315,7 +325,7 @@ def transform(m: VoxelHashMap, dq, dt) -> VoxelHashMap:
     from ..geometry import so3
 
     fresh = create(m.capacity, 1.0, m.tab.dtype)._replace(
-        voxel_size=m.voxel_size, n_dropped=m.n_dropped
+        voxel_size=m.voxel_size, n_dropped=m.n_dropped, n_evicted=m.n_evicted
     )
     pts = so3.quat_rotate(dq[None], m.points) + dt
     covs = jnp.where(m.occupied, m.covs, jnp.inf)
@@ -445,7 +455,47 @@ _WINDOW_CHUNK = 64  # supervoxel rows per scanned chunk: caps the live
 # rounds dominated the wide escalation at chunk 16)
 
 
-def _knn_window(m: VoxelHashMap, queries, k: int, radius: int):
+def _pallas_interpret() -> bool:
+    """Pallas kernels compile natively only on TPU; elsewhere (tests,
+    the virtual-CPU multichip dryrun) they run interpreted."""
+    return jax.default_backend() != "tpu"
+
+
+def _topk_extract(queries, cand_pts, cand_covs, cand_valid, k: int,
+                  use_pallas: bool):
+    """Top-k nearest candidates with their values — the select/rank stage.
+
+    use_pallas=True routes through the fused VMEM kernel
+    (ops/knn_pallas.py): one HBM read of the window, (Q, k) written back
+    — replacing the ~20 HBM re-streams of the iterative jnp path that the
+    round-4 SoL table measured at ~5% efficiency. The jnp twin is the
+    f64/CPU reference; both produce identical selections (ties to the
+    lowest lane) and identical garbage on all-invalid rows (lane 0,
+    d2 = max)."""
+    dtype = cand_covs.dtype
+    bigv = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    if use_pallas:
+        from ..ops import knn_pallas
+
+        pts, covs, d2 = knn_pallas.topk_candidates(
+            queries, cand_pts, cand_covs, cand_valid, k,
+            interpret=_pallas_interpret(),
+        )
+        # normalize the kernel's BIG sentinel to the jnp path's finfo max
+        d2 = jnp.where(d2 >= knn_pallas.BIG, bigv, d2)
+        return pts, covs, d2
+    C = cand_covs.shape[-1]
+    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_valid, d2, bigv)
+    nn_d2, idx = topk_min(d2, k)
+    sel = (idx[..., None] == jnp.arange(C)).astype(dtype)  # (Q, k, C)
+    pts = jnp.einsum("qkc,qcd->qkd", sel, cand_pts)
+    covs = jnp.einsum("qkc,qc->qk", sel, cand_covs)
+    return pts, covs, nn_d2
+
+
+def _knn_window(m: VoxelHashMap, queries, k: int, radius: int,
+                use_pallas: bool = False):
     """k nearest stored points over the supervoxel window of `radius`
     voxels: anchor (v - radius) >> 1 plus the static ball-pruned offsets.
 
@@ -476,6 +526,23 @@ def _knn_window(m: VoxelHashMap, queries, k: int, radius: int):
         tri = jnp.asarray(np.tril(np.ones((V, V), bool), -1))
         dup = jnp.any(eq & tri[None], axis=-1)
     alive = ~dup
+
+    if use_pallas:
+        # fused select/rank: gather the whole window once and hand it to
+        # the VMEM top-k kernel — no chunked-scan serialization (the
+        # round-4 wide tier's measured cost), no materialized distance
+        # tensor. The kernel's query-block size shrinks automatically at
+        # large C (ops/knn_pallas.py) so VMEM stays bounded.
+        rows = m.tab[b_all]  # (Q, V, SLOTS, 5)
+        occ = (rows[..., 0] != 0) & alive[..., None]
+        cand_pts = rows[..., 1:4].reshape(Q, V * SLOTS, 3)
+        cand_covs = rows[..., 4].reshape(Q, V * SLOTS)
+        nn_pts, nn_covs, nn_d2 = _topk_extract(
+            queries, cand_pts, cand_covs, occ.reshape(Q, V * SLOTS), k,
+            use_pallas=True,
+        )
+        nn_cnt = jnp.sum(nn_d2 < bigv, axis=-1)
+        return nn_pts, nn_covs, nn_d2, nn_cnt
 
     def chunk_candidates(b_c, alive_c):
         rows = m.tab[b_c]  # (Q, C, SLOTS, 5)
@@ -641,7 +708,8 @@ def knn_cached(
 
     Returns (nn_pts (Q, ak, 3), nn_covs, nn_d2, nn_cnt, n_miss,
     cache_pts (Q, C, 3), cache_covs (Q, C), cache_valid (Q, C)) with
-    C = base-window slots (128 at radius 1).
+    C = V * SLOTS base-window slots (8 supervoxel rows x 32 slots = 256
+    at radius 1).
 
     Rationale (round 4): the IEKF re-search re-ranks a candidate cache at
     the updated pose. Compacting the window to a top-16 cache cost a

@@ -552,7 +552,12 @@ class PoseGraphBackend:
         self.masks = np.zeros((K, P), bool)
         self.times = np.zeros(K)
         self.count = 0
-        self.edges = []  # (i, j, zq, zt, w) host tuples
+        self.edges = []  # (i, j, zq, zt, w, kind) host tuples;
+        # kind is "odo" | "loop" — an explicit tag, NOT inferred from
+        # index adjacency: a loop edge remapped onto adjacent kept nodes
+        # by _decimate must stay a loop edge (inference by j == i + 1
+        # silently dropped it on the next decimation and let it shadow
+        # the true odometry measurement in chain())
         self._round = 0
         self.n_loop_edges = 0
         self.opt_q = None
@@ -592,7 +597,8 @@ class PoseGraphBackend:
                 jnp.asarray(self.q[k]), jnp.asarray(self.t[k]),
             )
             self.edges.append(
-                (k - 1, k, np.asarray(zq), np.asarray(zt), self.odom_weight)
+                (k - 1, k, np.asarray(zq), np.asarray(zt), self.odom_weight,
+                 "odo")
             )
 
         cands = detect_loops(
@@ -619,7 +625,7 @@ class PoseGraphBackend:
             # a marginal edge should pull gently, a crisp one firmly
             self.edges.append(
                 (int(j), k, np.asarray(zq), np.asarray(zt),
-                 self.loop_weight * float(quality))
+                 self.loop_weight * float(quality), "loop")
             )
             self.n_loop_edges += 1
             closed += 1
@@ -692,7 +698,7 @@ class PoseGraphBackend:
             keep.append(n - 1)
         remap = {old: new for new, old in enumerate(keep)}
         odo_z = {
-            e[0]: (e[2], e[3]) for e in self.edges if e[1] == e[0] + 1
+            e[0]: (e[2], e[3]) for e in self.edges if e[5] == "odo"
         }
 
         def chain(a, b):
@@ -704,10 +710,12 @@ class PoseGraphBackend:
         new_edges = []
         for a, b in zip(keep[:-1], keep[1:]):
             zq, zt = chain(a, b)
-            new_edges.append((remap[a], remap[b], zq, zt, self.odom_weight))
+            new_edges.append(
+                (remap[a], remap[b], zq, zt, self.odom_weight, "odo")
+            )
         floor_keep = {old: old - (old % 2) for old in range(n)}
-        for (i, j, zq, zt, w) in self.edges:
-            if j == i + 1:
+        for (i, j, zq, zt, w, kind) in self.edges:
+            if kind == "odo":
                 continue  # odometry, already rebuilt
             i2 = i if i in remap else floor_keep[i]
             j2 = j if j in remap else floor_keep[j]
@@ -718,7 +726,7 @@ class PoseGraphBackend:
                 z = self._z_compose(chain(i2, i), z)
             if j2 != j:
                 z = self._z_compose(z, self._z_inv(chain(j2, j)))
-            new_edges.append((remap[i2], remap[j2], z[0], z[1], w))
+            new_edges.append((remap[i2], remap[j2], z[0], z[1], w, "loop"))
 
         idx = np.asarray(keep)
         m = len(keep)
@@ -745,7 +753,7 @@ class PoseGraphBackend:
         zt = np.zeros((E, 3))
         w = np.zeros(E)
         m = np.zeros(E, bool)
-        for e, (ei, ej, q, t, we) in enumerate(items[:E]):
+        for e, (ei, ej, q, t, we, _kind) in enumerate(items[:E]):
             i[e], j[e], zq[e], zt[e], w[e], m[e] = ei, ej, q, t, we, True
         return empty_edges(E, self.dtype)._replace(
             i=jnp.asarray(i), j=jnp.asarray(j),
@@ -754,8 +762,8 @@ class PoseGraphBackend:
         )
 
     def _edge_sets(self):
-        odo = [e for e in self.edges if e[1] == e[0] + 1]
-        loops = [e for e in self.edges if e[1] != e[0] + 1]
+        odo = [e for e in self.edges if e[5] == "odo"]
+        loops = [e for e in self.edges if e[5] == "loop"]
         # loop overflow: keep the most recent loop edges (older sections
         # are already welded by earlier relaxations)
         loops = loops[-self.loop_capacity:]

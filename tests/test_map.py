@@ -219,6 +219,37 @@ def test_insert_overflow_counted():
     assert int(vh.size(m)) + int(m.n_dropped) >= cap
 
 
+def test_evict_replace_counted_across_batches():
+    """Case-C displacements are counted: filling one supervoxel row, then
+    offering strictly better candidates in LATER batches, must grow
+    n_evicted by one per displaced stored record — cumulative loss
+    accounting stays honest across batches, not just into an empty map."""
+    cap = vh.SLOTS  # one supervoxel row
+    m = vh.create(cap, 0.5, jnp.float64)
+    # fill the row: SLOTS distinct voxels inside one 2x2x2-supervoxel
+    # won't exist (max 8/supervoxel) — use colliding supervoxels: with a
+    # single row, EVERY supervoxel hashes to row 0, so any SLOTS distinct
+    # voxels fill it
+    pts0 = jnp.asarray(
+        np.stack([np.arange(vh.SLOTS) * 0.5 + 0.25,
+                  np.zeros(vh.SLOTS), np.zeros(vh.SLOTS)], -1)
+    )
+    m = vh.insert(m, pts0, jnp.full((vh.SLOTS,), 0.5), jnp.ones(vh.SLOTS, bool))
+    assert int(vh.size(m)) == vh.SLOTS
+    assert int(m.n_evicted) == 0
+    # second batch: one NEW voxel with a strictly better covariance must
+    # displace the row's worst record and be counted
+    p_new = jnp.asarray([[-7.3, 0.0, 0.0]])
+    m2 = vh.insert(m, p_new, jnp.asarray([0.01]), jnp.ones(1, bool))
+    assert int(vh.size(m2)) == vh.SLOTS  # still full: one in, one out
+    assert int(m2.n_evicted) == 1, int(m2.n_evicted)
+    assert int(m2.n_dropped) == int(m.n_dropped)
+    # third batch, another displacement: the counter accumulates
+    p_new2 = jnp.asarray([[-9.8, 0.0, 0.0]])
+    m3 = vh.insert(m2, p_new2, jnp.asarray([0.005]), jnp.ones(1, bool))
+    assert int(m3.n_evicted) == 2, int(m3.n_evicted)
+
+
 def test_flatten_extract_points():
     """flatten/extract_points (the ikdtree.flatten dump analog,
     laserMapping.cpp:1016-1022) return exactly the live cells."""

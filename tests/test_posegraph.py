@@ -819,7 +819,61 @@ def test_backend_decimation_preserves_graph():
     assert (np.diff(kept_t) > 0).all()
     # odometry edges still chain consecutively and compose to the right
     # relative translations
-    odo = [e for e in backend.edges if e[1] == e[0] + 1]
-    for (i, j, zq, zt, w) in odo:
+    odo = [e for e in backend.edges if e[5] == "odo"]
+    for (i, j, zq, zt, w, _kind) in odo:
         dt_true = backend.t[j] - backend.t[i]
         np.testing.assert_allclose(zt, dt_true, atol=1e-9)
+
+
+def test_decimation_loop_edge_on_adjacent_kept_nodes_survives():
+    """A loop edge whose endpoints land on ADJACENT kept nodes after one
+    decimation must stay a loop edge: with edge type inferred from index
+    adjacency it was silently dropped on the SECOND decimation and its
+    measurement could shadow the true odometry in chain() (advisor r4)."""
+    backend = pg.PoseGraphBackend(
+        capacity=64, loop_capacity=8, keyframe_every=1, cloud_points=8,
+        feedback=False,
+    )
+    rng_l = np.random.default_rng(3)
+
+    class Out:
+        pass
+
+    for k in range(9):
+        o = Out()
+        o.quat = np.array([1.0, 0, 0, 0])
+        o.pos = np.array([0.5 * k, 0.0, 0.0])
+        o.kf_pts = rng_l.normal(size=(8, 3))
+        o.kf_mask = np.ones(8, bool)
+        o.end_time = float(k)
+        backend.observe(o)
+    # hand-placed loop measurement between nodes 2 and 4 — deliberately
+    # OFF the odometry chain (1.02 vs 1.0) so any cross-contamination of
+    # chain() is numerically visible
+    backend.edges.append(
+        (2, 4, np.array([1.0, 0, 0, 0]), np.array([1.02, 0.0, 0.0]),
+         0.7, "loop")
+    )
+
+    backend._decimate()  # keep 0,2,4,6,8 -> loop edge becomes (1, 2)
+    loops = [e for e in backend.edges if e[5] == "loop"]
+    assert len(loops) == 1
+    assert (loops[0][0], loops[0][1]) == (1, 2)
+    np.testing.assert_allclose(loops[0][3], [1.02, 0, 0], atol=1e-9)
+    # the odometry measurement for the same (1, 2) segment is the TRUE
+    # composed odometry, not the loop measurement
+    odo_12 = [e for e in backend.edges if e[5] == "odo" and e[0] == 1]
+    assert len(odo_12) == 1
+    np.testing.assert_allclose(odo_12[0][3], [1.0, 0, 0], atol=1e-9)
+
+    backend._decimate()  # keep 0,2,4 -> loop edge remaps to (0, 1)
+    loops = [e for e in backend.edges if e[5] == "loop"]
+    assert len(loops) == 1, "adjacent loop edge silently dropped"
+    assert (loops[0][0], loops[0][1]) == (0, 1)
+    # composed with the interleaving TRUE odometry: 1.0 + 1.02
+    np.testing.assert_allclose(loops[0][3], [2.02, 0, 0], atol=1e-9)
+    for e in backend.edges:
+        if e[5] == "odo":
+            np.testing.assert_allclose(
+                e[3], backend.t[e[1]] - backend.t[e[0]], atol=1e-9
+            )
