@@ -26,10 +26,20 @@ tracks the BASELINE kernel-efficiency target directly.
 
 Baseline: 20 scan-groups/s. A local headless build of the reference is
 impossible in this image (needs Eigen/PCL/ROS; installs disallowed), so
-the denominator is derived from the reference's own instrumentation
-semantics — real-time at 10 Hz City groups with ~50 ms/group printed by
-laserMapping.cpp:825-826 — with the sensitivity analysis documented in
-benchmarks/RESULTS.md ("Baseline derivation"). vs_baseline = value / 20.
+the headline denominator is derived from the reference's own
+instrumentation semantics — real-time at 10 Hz City groups with
+~50 ms/group printed by laserMapping.cpp:825-826 — with the sensitivity
+analysis documented in benchmarks/RESULTS.md ("Baseline derivation").
+vs_baseline = value / 20.
+
+In ADDITION (VERDICT round-4 item 5), a from-scratch C++
+reimplementation of the reference hot loop (native/baseline/
+ref_hotloop.cpp: incremental kd-tree 5-NN + plane fit + 24-dof Gram x 3
+iterations, OpenMP) is built and timed ON THIS HOST at the same City
+shape; its measured rate is reported as local_cpp_rounds_per_sec /
+vs_local_cpp. This container exposes 2 cores, so the local number reads
+LOW relative to the desktop-CPU assumption — both denominators are
+published so neither is taken on faith.
 """
 import json
 import sys
@@ -41,6 +51,30 @@ import numpy as np
 
 BASELINE_SCANS_PER_SEC = 20.0
 ATE_GATE_M = 0.05  # flagship synthetic runs ~0.011; 0.05 = broken filter
+
+
+def _local_cpp_baseline():
+    """Measured C++ hot-loop rate on this host (best-effort)."""
+    try:
+        import subprocess
+
+        root = pathlib.Path(__file__).resolve().parent
+        binp = root / "native" / "baseline" / "ref_hotloop"
+        if not binp.exists():
+            subprocess.run(
+                ["make", "-C", str(root / "native"), "baseline"],
+                check=True, capture_output=True, timeout=180,
+            )
+        out = subprocess.run(
+            [str(binp), "80"], capture_output=True, timeout=600, text=True
+        )
+        d = json.loads(out.stdout.strip().splitlines()[-1])
+        return {
+            "local_cpp_rounds_per_sec": d["rounds_per_sec"],
+            "local_cpp_threads": d["threads"],
+        }
+    except Exception as e:  # pragma: no cover
+        return {"local_cpp_error": str(e)[:120]}
 
 
 def _kernel_times():
@@ -70,11 +104,13 @@ def _kernel_times():
         mask = jnp.ones((M,), bool)
         ins_j = jax.jit(lambda m, p: vh.insert(m, p, covs, mask))
         t_ins, m2 = kernel_timer(ins_j, carry.map, pts, iters=5)
+        use_pallas = jax.default_backend() == "tpu"
         knn_j = jax.jit(
-            lambda m, q: vh.knn(
-                m, q, k=meas.CAND_K, radius=cfg.knn_radius,
+            lambda m, q: vh.knn_cached(
+                m, q, radius=cfg.knn_radius,
                 wide_radius=cfg.knn_wide_radius,
                 wide_budget=cfg.knn_wide_budget,
+                cache_k=meas.CAND_K, use_pallas=use_pallas,
             )
         )
         t_knn, _ = kernel_timer(knn_j, m2, pts, iters=5)
@@ -144,8 +180,13 @@ def main():
         "gated": gated,
         "nn_miss_p50": res["stats"]["nn_miss_p50"],
         "map_dropped": res["stats"]["map_dropped_final"],
+        "meas_dropped": res["stats"].get("meas_dropped_max", 0.0),
     }
     out.update(_kernel_times())
+    cpp = _local_cpp_baseline()
+    out.update(cpp)
+    if "local_cpp_rounds_per_sec" in cpp and cpp["local_cpp_rounds_per_sec"]:
+        out["vs_local_cpp"] = round(value / cpp["local_cpp_rounds_per_sec"], 3)
     print(json.dumps(out))
 
 

@@ -73,6 +73,13 @@ def _flagship_config(points_per_lidar, map_slots, single_search):
         epoch_capacity=32,
         map_capacity=map_slots,
         single_search=single_search,
+        # measurement-lane compaction at 13/16 (~81%): ~30% of flagship
+        # lanes are downsample padding (round-4 SoL). The first 75% cap
+        # clipped 160 live lanes at peak (BENCH r5 meas_dropped) — 13/16
+        # clears the measured peak with margin while still dropping ~19%
+        # of dead-lane work; overflow is counted in n_meas_dropped and
+        # watched by the bench stats
+        max_meas_points=(3 * points_per_lidar) * 13 // 16,
     )
 
 
@@ -266,11 +273,17 @@ def _run_benchmark(cfg, seqs, dtype, chunk, warmup, passes):
     drops = np.concatenate(
         [np.asarray(o.map_dropped).reshape(-1) for o, _ in outs]
     ) if outs else np.zeros(0)
+    mdrop = np.concatenate(
+        [np.asarray(o.n_meas_dropped).reshape(-1) for o, _ in outs]
+    ) if outs and hasattr(outs[0][0], "n_meas_dropped") else np.zeros(0)
     stats = dict(
         nn_miss_p50=float(np.median(miss)) if miss.size else 0.0,
         nn_miss_p99=float(np.percentile(miss, 99)) if miss.size else 0.0,
         nn_miss_max=float(miss.max()) if miss.size else 0.0,
         map_dropped_final=float(drops.max()) if drops.size else 0.0,
+        # live lanes clipped by the measurement-compaction cap: nonzero
+        # means the 75% cap is undersized for this world — raise it
+        meas_dropped_max=float(mdrop.max()) if mdrop.size else 0.0,
     )
     return values, ates, n_rounds, stats
 

@@ -50,8 +50,16 @@ class Config:
     # gathering k-NN runs ONCE per round regardless; re-searches are a
     # cheap cache re-rank, so this flag now saves little and costs
     # reference parity (0.133 m on the chained oracle) — keep it off.
-    pallas_deskew: bool = False  # True: fused Pallas spline-deskew kernel
-    # (TPU; interpret-mode on CPU) instead of the jnp path
+    pallas_deskew: bool | None = None  # fused Pallas spline-deskew kernel
+    # (ops/deskew_pallas.py, 1.8x vs the jnp path on a v5e). None =
+    # auto: ON for f32 on a TPU backend (the flagship path), OFF
+    # elsewhere (f64/CPU uses the jnp path; parity 8e-6 f32 roundoff).
+    # True forces the kernel (interpret-mode off-TPU, for parity tests)
+    pallas_knn: bool | None = None  # fused VMEM k-NN select/compact
+    # kernel (ops/knn_pallas.py). None = auto: ON for f32 on a TPU
+    # backend (the flagship path), OFF elsewhere (f64 tests, CPU dryrun
+    # — where the jnp twin computes the identical selection). True
+    # forces the kernel (interpret-mode off-TPU, for parity tests)
 
     # --- map ---
     filter_size_surf: float = 0.5
@@ -76,6 +84,15 @@ class Config:
 
     # --- static capacities (TPU shapes) ---
     max_points_per_scan: int = 16384  # downsampled, per LiDAR
+    max_meas_points: int | None = None  # measurement-lane compaction cap:
+    # after the per-LiDAR downsample, live lanes are sort-compacted to
+    # the front and the measurement model runs on the first
+    # max_meas_points lanes only (k-NN, plane fits, H rows, insert all
+    # shrink proportionally). ~30% of flagship lanes are padding
+    # (round-4 SoL), so a 75% cap removes dead work without touching any
+    # live point; live overflow beyond the cap is dropped AND counted
+    # (StepOutput.n_meas_dropped). None = off (every lane kept; shapes
+    # and goldens unchanged)
     max_raw_points: int = 65536  # per LiDAR before downsampling
     max_imu_per_group: int = 64  # IMU samples covering one scan group
     imu_cont_len: int = 16  # future-IMU continuation (laserMapping.cpp:380)

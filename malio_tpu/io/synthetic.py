@@ -108,9 +108,56 @@ class Trajectory:
         return self.gyro_body(t), acc_body
 
 
-def make_world(n_planes=30, extent=25.0, patch=7.0, grid=0.35, seed=0):
+def make_tunnel_world(length=60.0, half_width=4.0, height=5.0, grid=0.35,
+                      jitter=0.0, seed=0):
+    """Degenerate corridor world — City02's 400 m tunnel regime
+    (reference README.md:216-221): two walls, floor and ceiling running
+    along +x with NO x-facing surfaces, so translation along the tunnel
+    axis is unobservable from point-to-plane constraints and the
+    localization weighting law (laserMapping.cpp:744-759) must engage.
+    `jitter` perturbs anchor positions along the surface (NOT along the
+    normal) so the degeneracy is exact. Returns (anchors, normals)."""
+    rng = np.random.default_rng(seed)
+    xs = np.arange(-8.0, length, grid)
+    zs = np.arange(-1.5, height, grid)
+    ys = np.arange(-half_width, half_width, grid)
+    anchors, normals = [], []
+    for ysign in (-1.0, 1.0):
+        xx, zz = np.meshgrid(xs, zs, indexing="ij")
+        wall = np.stack(
+            [xx.ravel(), np.full(xx.size, ysign * half_width), zz.ravel()],
+            axis=-1,
+        )
+        anchors.append(wall)
+        normals.append(np.tile([0.0, -ysign, 0.0], (wall.shape[0], 1)))
+    for z, zsign in ((-1.5, 1.0), (height, -1.0)):
+        xx, yy = np.meshgrid(xs, ys, indexing="ij")
+        slab = np.stack(
+            [xx.ravel(), yy.ravel(), np.full(xx.size, z)], axis=-1
+        )
+        anchors.append(slab)
+        normals.append(np.tile([0.0, 0.0, zsign], (slab.shape[0], 1)))
+    anchors = np.concatenate(anchors)
+    normals = np.concatenate(normals)
+    if jitter:
+        # in-surface jitter only: project random offsets off the normal
+        off = rng.normal(size=anchors.shape) * jitter
+        off -= normals * np.sum(off * normals, axis=-1, keepdims=True)
+        anchors = anchors + off
+    return anchors, normals
+
+
+def make_world(n_planes=30, extent=25.0, patch=7.0, grid=0.35, seed=0,
+               tunnel=None):
     """Planar patches with anchor-point grids; normals in all directions so
-    every DOF is constrained. Returns (anchors (A,3), normals (A,3))."""
+    every DOF is constrained. Returns (anchors (A,3), normals (A,3)).
+
+    tunnel: optional dict of make_tunnel_world kwargs — when given, the
+    world is the degenerate corridor instead (SyntheticSequence passes
+    world_kwargs straight here, so scenarios opt in via
+    world_kwargs=dict(tunnel={...}))."""
+    if tunnel is not None:
+        return make_tunnel_world(seed=seed, **tunnel)
     rng = np.random.default_rng(seed)
     anchors = []
     normals = []

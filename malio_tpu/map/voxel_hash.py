@@ -474,19 +474,22 @@ def _topk_extract(queries, cand_pts, cand_covs, cand_valid, k: int,
     d2 = max)."""
     dtype = cand_covs.dtype
     bigv = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # masked distances are computed ONCE here (one fused XLA pass over
+    # the window) and shared by both selection paths, so kernel-vs-jnp
+    # outputs are bitwise identical — selection and one-term extraction
+    # are rounding-free
+    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_valid, d2, bigv)
+    # empty slots store cov = +inf; zero them BEFORE extraction (the
+    # one-hot einsum would turn any in-window inf into NaN via 0*inf)
+    cand_covs = jnp.where(cand_valid, cand_covs, jnp.zeros((), dtype))
     if use_pallas:
         from ..ops import knn_pallas
 
-        pts, covs, d2 = knn_pallas.topk_candidates(
-            queries, cand_pts, cand_covs, cand_valid, k,
-            interpret=_pallas_interpret(),
+        return knn_pallas.topk_candidates(
+            d2, cand_pts, cand_covs, k, interpret=_pallas_interpret()
         )
-        # normalize the kernel's BIG sentinel to the jnp path's finfo max
-        d2 = jnp.where(d2 >= knn_pallas.BIG, bigv, d2)
-        return pts, covs, d2
     C = cand_covs.shape[-1]
-    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand_valid, d2, bigv)
     nn_d2, idx = topk_min(d2, k)
     sel = (idx[..., None] == jnp.arange(C)).astype(dtype)  # (Q, k, C)
     pts = jnp.einsum("qkc,qcd->qkd", sel, cand_pts)
@@ -687,12 +690,16 @@ def knn(
     return (*res, jnp.sum(misses(res)).astype(jnp.int32))
 
 
-CACHE_WIDE_K = 16  # wide-escalated lanes keep their top-16 as cache
+CACHE_K = 16  # compact candidate-cache width handed to the IEKF re-rank
+CACHE_WIDE_K = CACHE_K  # legacy alias (wide lanes share the cache width)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "wide_radius", "wide_budget", "accept_k"),
+    static_argnames=(
+        "radius", "wide_radius", "wide_budget", "accept_k", "cache_k",
+        "use_pallas",
+    ),
 )
 def knn_cached(
     m: VoxelHashMap,
@@ -703,23 +710,29 @@ def knn_cached(
     qmask=None,
     accept_d2=5.0,
     accept_k: int = NUM_MATCH_POINTS,
+    cache_k: int = CACHE_K,
+    use_pallas: bool = False,
 ):
-    """knn(k = accept_k) plus the FULL base-window candidate cache.
+    """knn(k = accept_k) plus a COMPACT top-`cache_k` candidate cache.
 
     Returns (nn_pts (Q, ak, 3), nn_covs, nn_d2, nn_cnt, n_miss,
-    cache_pts (Q, C, 3), cache_covs (Q, C), cache_valid (Q, C)) with
-    C = V * SLOTS base-window slots (8 supervoxel rows x 32 slots = 256
-    at radius 1).
+    cache_pts (Q, cache_k, 3), cache_covs (Q, cache_k),
+    cache_valid (Q, cache_k)); nn_* are the first ak cache lanes.
 
-    Rationale (round 4): the IEKF re-search re-ranks a candidate cache at
-    the updated pose. Compacting the window to a top-16 cache cost a
-    take-along gather pass per search (~3 ms at 12k queries); handing the
-    caller the RAW window instead costs nothing (the rows are already
-    gathered) and the re-rank's k-smallest selection over 128 lanes is
-    pure reductions. It also widens the cache margin: the re-rank sees
-    every base-window candidate, not a top-16 subset. Wide-escalated
-    lanes (sparse scenes) can't keep their 208-row window, so they splice
-    their top-CACHE_WIDE_K into the first cache lanes instead."""
+    Rationale (round 5): the IEKF re-search re-ranks this cache at the
+    updated pose. Round 4 kept the RAW gathered window (C = 256 at
+    radius 1) as the cache because compacting it with XLA primitives
+    cost a ~3 ms take-along pass — but that pushed (Q, 256) tensors
+    through every downstream stage (re-rank, weighting, escalation
+    splice) at the ~5% efficiency the round-4 SoL table measured. The
+    fused select kernel (ops/knn_pallas.py, use_pallas=True) compacts in
+    VMEM for ~the cost of one window read, so the cache returns to the
+    round-3 top-k form whose end-to-end reference parity the chained
+    oracle measured at 0.0185 m cross-ATE (the pose moves mm-cm between
+    IEKF iterations; a new 5-NN outside the old top-16 is a vanishing
+    boundary case). The jnp path computes the identical compaction for
+    f64/CPU runs; wide-escalated lanes splice their wide top-`cache_k`
+    in at uniform width."""
     queries = queries.astype(m.tab.dtype)
     dtype = m.tab.dtype
     Q = queries.shape[0]
@@ -746,17 +759,17 @@ def knn_cached(
     occ = (rows[..., 0] != 0) & (~dup)[..., None]
     if qmask is not None:
         occ = occ & qmask[:, None, None]
-    cache_pts = rows[..., 1:4].reshape(Q, C, 3)
-    cache_covs = rows[..., 4].reshape(Q, C)
-    cache_valid = occ.reshape(Q, C)
-    d2 = jnp.sum((cache_pts - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cache_valid, d2, bigv)
+    win_pts = rows[..., 1:4].reshape(Q, C, 3)
+    win_covs = rows[..., 4].reshape(Q, C)
+    cache_pts, cache_covs, cache_d2 = _topk_extract(
+        queries, win_pts, win_covs, occ.reshape(Q, C), cache_k, use_pallas
+    )
+    cache_valid = cache_d2 < bigv
 
     ak = accept_k
-    nn_d2, idx = topk_min(d2, ak)
-    sel = (idx[..., None] == jnp.arange(C)).astype(dtype)  # (Q, ak, C)
-    nn_pts = jnp.einsum("qkc,qcd->qkd", sel, cache_pts)
-    nn_covs = jnp.einsum("qkc,qc->qk", sel, cache_covs)
+    nn_pts = cache_pts[:, :ak]
+    nn_covs = cache_covs[:, :ak]
+    nn_d2 = cache_d2[:, :ak]
     nn_cnt = jnp.sum(nn_d2 < bigv, axis=-1)
     accept_d2 = jnp.asarray(accept_d2, dtype)
 
@@ -800,11 +813,11 @@ def knn_cached(
         )
         safe = jnp.minimum(inv, Q - 1)
         w_pts, w_covs, w_d2, w_cnt = _knn_window(
-            m, queries[safe], CACHE_WIDE_K, wide_radius
+            m, queries[safe], cache_k, wide_radius, use_pallas=use_pallas
         )
         r = jnp.minimum(rank, budget - 1)
         vcol = valid[:, None]
-        w_pts_r = w_pts[r]  # (Q, CACHE_WIDE_K, 3) — ONE row gather
+        w_pts_r = w_pts[r]  # (Q, cache_k, 3) — ONE row gather
         w_covs_r = w_covs[r]
         w_d2_r = w_d2[r]
         w_cnt_r = w_cnt[r]
@@ -814,25 +827,15 @@ def knn_cached(
         o_covs = jnp.where(vcol, w_covs_r[:, :ak], b_covs)
         o_d2 = jnp.where(vcol, w_d2_r[:, :ak], b_d2)
         o_cnt = jnp.where(valid, jnp.minimum(w_cnt_r, ak), b_cnt)
-        # escalated lanes: cache = their wide top-CACHE_WIDE_K; lanes
-        # beyond it are invalid, so zero-pad by concatenation (NO fancy
-        # indexing — a (Q, C)-shaped re-gather lowered to per-query
-        # dynamic slices)
-        lanes = jnp.arange(C)
-        pad_pts = jnp.concatenate(
-            [w_pts_r, jnp.zeros((Q, C - CACHE_WIDE_K, 3), dtype)], axis=1
-        )
-        pad_covs = jnp.concatenate(
-            [w_covs_r, jnp.zeros((Q, C - CACHE_WIDE_K), dtype)], axis=1
-        )
-        pad_valid = (
-            lanes[None, :] < jnp.minimum(w_cnt_r, CACHE_WIDE_K)[:, None]
-        )
+        # escalated lanes: cache = their wide top-cache_k — UNIFORM width
+        # with the base cache, so the splice is a plain select
+        lanes = jnp.arange(cache_k)
+        w_valid = lanes[None, :] < jnp.minimum(w_cnt_r, cache_k)[:, None]
         return (
             o_pts, o_covs, o_d2, o_cnt,
-            jnp.where(vcol[..., None], pad_pts, c_pts),
-            jnp.where(vcol, pad_covs, c_covs),
-            jnp.where(vcol, pad_valid, c_valid),
+            jnp.where(vcol[..., None], w_pts_r, c_pts),
+            jnp.where(vcol, w_covs_r, c_covs),
+            jnp.where(vcol, w_valid, c_valid),
         )
 
     # small tier = 256: flagship steady-state PRE-wide demand measured

@@ -70,6 +70,8 @@ class HShareCache(NamedTuple):
     cand_valid: jnp.ndarray  # (M, CAND_K) bool
     n_miss: jnp.ndarray  # () int32 acceptance-rule misses of the round's
     # gathering search (the wide-escalation demand signal, voxel_hash.knn)
+    w_loc: jnp.ndarray  # () last iteration's localization weight
+    # (laserMapping.cpp:744-759); < 1 marks degenerate geometry (tunnel)
 
 
 def init_cache(M: int, dtype=jnp.float32, cand_k: int = CAND_K) -> HShareCache:
@@ -87,6 +89,7 @@ def init_cache(M: int, dtype=jnp.float32, cand_k: int = CAND_K) -> HShareCache:
         cand_covs=jnp.zeros((M, cand_k), dtype),
         cand_valid=jnp.zeros((M, cand_k), bool),
         n_miss=jnp.zeros((), jnp.int32),
+        w_loc=jnp.ones((), dtype),
     )
 
 
@@ -252,6 +255,11 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
 
     # --- the round's single gathering search (at x0) ---
     _, _, p_world0 = _world_points(x0, data)
+    use_pallas = cfg.pallas_knn
+    if use_pallas is None:  # auto: fused kernel on the TPU f32 path
+        use_pallas = (
+            jax.default_backend() == "tpu" and dtype == jnp.float32
+        )
     (_, _, _, _, n_miss, cand_pts, c_covs, cand_valid) = vh.knn_cached(
         map_state,
         p_world0,
@@ -261,6 +269,8 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
         qmask=data.pt_mask,
         accept_d2=NN_REJECT_D2,
         accept_k=NUM_MATCH,
+        cache_k=CAND_K,
+        use_pallas=bool(use_pallas),
     )
     cand_covs = jnp.where(cand_valid, c_covs, 0.0)
     (normal0, d0, plane_valid0, plane_cov0, searched0, nn_pts0, nn_cnt0) = (
@@ -280,6 +290,7 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
         cand_covs=cand_covs,
         cand_valid=cand_valid,
         n_miss=n_miss,
+        w_loc=jnp.ones((), dtype),
     )
 
     def h_share(x: st.State, search: jnp.ndarray, cache: HShareCache):
@@ -440,6 +451,7 @@ def make_h_share(cfg, map_state: vh.VoxelHashMap, data: ScanData, x0: st.State):
             cand_covs=cache.cand_covs,
             cand_valid=cache.cand_valid,
             n_miss=cache.n_miss,
+            w_loc=w_loc.astype(dtype),
         )
         res = HShareResult(valid=valid, h=hw, H=Hw, R=R_eff, mask=selected)
         return res, new_cache

@@ -220,14 +220,16 @@ def deskew_points(pts, cps_R, cps_t, logs, t0, num_valid, dt, ext_R, ext_t, lt_R
         _kernel,
         out_shape=jax.ShapeDtypeStruct(pts_p.shape, dtype),
         grid=grid,
+        # index maps avoid literal 0 coordinates: under x64 a literal 0
+        # traces as i64 and Mosaic rejects the mixed-width index tuple
         in_specs=[
-            pl.BlockSpec((BLOCK, 4), lambda i: (i, 0)),
-            pl.BlockSpec((C, 9), lambda i: (0, 0)),
-            pl.BlockSpec((C, 3), lambda i: (0, 0)),
-            pl.BlockSpec((C, 6), lambda i: (0, 0)),
-            pl.BlockSpec((2, 16), lambda i: (0, 0)),
+            pl.BlockSpec((BLOCK, 4), lambda i: (i, i * 0)),
+            pl.BlockSpec((C, 9), lambda i: (i * 0, i * 0)),
+            pl.BlockSpec((C, 3), lambda i: (i * 0, i * 0)),
+            pl.BlockSpec((C, 6), lambda i: (i * 0, i * 0)),
+            pl.BlockSpec((2, 16), lambda i: (i * 0, i * 0)),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 4), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((BLOCK, 4), lambda i: (i, i * 0)),
         interpret=interpret,
     )(pts_p, cps_R.reshape(C, 9), cps_t, logs, params)
     return out[:N]

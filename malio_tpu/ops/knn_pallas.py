@@ -45,35 +45,37 @@ BIG = 3.0e38  # invalid-lane distance (f32 max ~ 3.4e38; stay below so
 # arithmetic never overflows to inf inside the kernel)
 
 
-def _kernel(q_ref, px_ref, py_ref, pz_ref, pc_ref, occ_ref,
+def _kernel(px_ref, py_ref, pz_ref, pc_ref, d2_ref,
             ox_ref, oy_ref, oz_ref, oc_ref, od_ref, *, K: int):
-    q = q_ref[...]
-    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
     px = px_ref[...]
     py = py_ref[...]
     pz = pz_ref[...]
     pc = pc_ref[...]
-    dx = px - qx
-    dy = py - qy
-    dz = pz - qz
-    d2 = dx * dx + dy * dy + dz * dz
-    occ = occ_ref[...] > 0.0
-    cur = jnp.where(occ, d2, BIG)
+    cur = d2_ref[...]
     C = cur.shape[1]
     lanes = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
+    # mask selected lanes with the SAME sentinel the caller uses for
+    # invalid lanes (finfo max): an exhausted row then keeps returning
+    # lane 0 exactly like the jnp twin's argmin-over-all-equal
+    big = jnp.asarray(jnp.finfo(cur.dtype).max, cur.dtype)
+
+    # all integer arithmetic pinned to int32: under x64 a bare Python
+    # int would promote the lane iota to int64, whose Mosaic
+    # convert-element-type lowering recurses infinitely
+    Ci = jnp.asarray(C, jnp.int32)
 
     xs, ys, zs, cs, ds = [], [], [], [], []
     for _ in range(K):
         m = jnp.min(cur, axis=1)  # (QB,)
         # first minimizing lane (ties to lowest lane, like argmin)
-        li = jnp.min(jnp.where(cur == m[:, None], lanes, C), axis=1)
+        li = jnp.min(jnp.where(cur == m[:, None], lanes, Ci), axis=1)
         sel = lanes == li[:, None]
         xs.append(jnp.sum(jnp.where(sel, px, 0.0), axis=1))
         ys.append(jnp.sum(jnp.where(sel, py, 0.0), axis=1))
         zs.append(jnp.sum(jnp.where(sel, pz, 0.0), axis=1))
         cs.append(jnp.sum(jnp.where(sel, pc, 0.0), axis=1))
         ds.append(m)
-        cur = jnp.where(sel, BIG, cur)
+        cur = jnp.where(sel, big, cur)
 
     ox_ref[...] = jnp.stack(xs, axis=-1)
     oy_ref[...] = jnp.stack(ys, axis=-1)
@@ -83,53 +85,51 @@ def _kernel(q_ref, px_ref, py_ref, pz_ref, pc_ref, occ_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
-def topk_candidates(queries, cand_pts, cand_covs, cand_valid,
-                    K: int, interpret: bool = False):
-    """Top-K nearest candidates per query, fully fused.
+def topk_candidates(d2, cand_pts, cand_covs, K: int,
+                    interpret: bool = False):
+    """Top-K candidates per query by precomputed masked distance.
 
-    queries (Q, 3) f32; cand_pts (Q, C, 3); cand_covs (Q, C);
-    cand_valid (Q, C) bool. Returns (pts (Q, K, 3), covs (Q, K),
-    d2 (Q, K) ascending) — invalid results carry d2 >= BIG and the
-    lane-0 candidate's coordinates (exactly like topk_min + one-hot
-    extraction on an all-invalid row)."""
+    d2 (Q, C) f32 with invalid lanes set >= BIG (computed by the caller
+    so the jnp twin shares the exact array — both paths then select and
+    extract identically, bit-for-bit); cand_pts (Q, C, 3);
+    cand_covs (Q, C). Returns (pts (Q, K, 3), covs (Q, K), d2 (Q, K)
+    ascending) — invalid results carry d2 >= BIG and the lane-0
+    candidate's coordinates (exactly like topk_min + one-hot extraction
+    on an all-invalid row)."""
     Q, C = cand_covs.shape
     dtype = cand_covs.dtype
     # planes: one transpose, bandwidth-bound (see module docstring)
     px = cand_pts[..., 0]
     py = cand_pts[..., 1]
     pz = cand_pts[..., 2]
-    occ = cand_valid.astype(dtype)
 
     # query-block size: ~12 live (QB, C) f32 arrays (5 plane inputs + the
-    # kernel's d2/cur/select intermediates) must fit VMEM; cap at 12 MB
+    # kernel's running-min/select intermediates) must fit VMEM; cap 12 MB
     qblock = max(8, min(QBLOCK, ((12 << 20) // (12 * C * 4)) // 8 * 8))
 
     pad = (-Q) % qblock
     if pad:
-        zq = jnp.zeros((pad, 3), dtype)
         zp = jnp.zeros((pad, C), dtype)
-        queries = jnp.concatenate([queries, zq], axis=0)
         px = jnp.concatenate([px, zp], axis=0)
         py = jnp.concatenate([py, zp], axis=0)
         pz = jnp.concatenate([pz, zp], axis=0)
         cand_covs = jnp.concatenate([cand_covs, zp], axis=0)
-        occ = jnp.concatenate([occ, zp], axis=0)
+        d2 = jnp.concatenate([d2, jnp.full((pad, C), BIG, dtype)], axis=0)
     Qp = Q + pad
 
     grid = (Qp // qblock,)
-    plane = pl.BlockSpec((qblock, C), lambda i: (i, 0))
-    out_spec = pl.BlockSpec((qblock, K), lambda i: (i, 0))
+    # index maps return (i, i*0), not (i, 0): under x64 a literal 0
+    # traces as i64 and Mosaic rejects the mixed (i32, i64) index tuple
+    plane = pl.BlockSpec((qblock, C), lambda i: (i, i * 0))
+    out_spec = pl.BlockSpec((qblock, K), lambda i: (i, i * 0))
     out_shape = jax.ShapeDtypeStruct((Qp, K), dtype)
     ox, oy, oz, oc, od = pl.pallas_call(
         functools.partial(_kernel, K=K),
         out_shape=(out_shape,) * 5,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((qblock, 3), lambda i: (i, 0)),
-            plane, plane, plane, plane, plane,
-        ],
+        in_specs=[plane, plane, plane, plane, plane],
         out_specs=(out_spec,) * 5,
         interpret=interpret,
-    )(queries, px, py, pz, cand_covs, occ)
+    )(px, py, pz, cand_covs, d2)
     pts = jnp.stack([ox[:Q], oy[:Q], oz[:Q]], axis=-1)
     return pts, oc[:Q], od[:Q]

@@ -50,6 +50,9 @@ class LioCarry(NamedTuple):
     map_init: jnp.ndarray  # () bool
     step_count: jnp.ndarray  # () int32
     first_t: jnp.ndarray  # () first round's scan-begin (current time frame)
+    Pi: jnp.ndarray  # (n, n) previous round's information-matrix inverse
+    # (solve dtype) — warm-starts the next IEKF solve (esekf.update_iterated
+    # Pi0; residual-gated, so a stale value only costs the fallback)
 
 
 class StepOutput(NamedTuple):
@@ -73,10 +76,18 @@ class StepOutput(NamedTuple):
     kf_mask: jnp.ndarray  # (M_DS,)
     world_pts: jnp.ndarray  # (M, 3) registered (world) downsampled points
     world_mask: jnp.ndarray  # (M,)
+    n_meas_dropped: jnp.ndarray  # () int32 live lanes dropped by the
+    # measurement-lane compaction cap this round (0 when the cap is off
+    # or not reached — every loss is counted)
+    w_loc: jnp.ndarray  # () localization weight of the last IEKF
+    # iteration (laserMapping.cpp:744-759); < 1 = degenerate geometry
 
 
 def init_carry(cfg, x0: st.State, P0, Q, dtype=jnp.float32) -> LioCarry:
+    n = P0.shape[0]
+    sdtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
     return LioCarry(
+        Pi=jnp.zeros((n, n), sdtype),
         x=x0,
         P=P0.astype(dtype),
         Q=Q.astype(dtype),
@@ -184,6 +195,24 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
     flat_mask = ds_mask.reshape(M)
     flat_lidar = jnp.repeat(jnp.arange(L, dtype=jnp.int32), M_DS)
 
+    # ---- measurement-lane compaction (cfg.max_meas_points) ----
+    # ~30% of flagship lanes are downsample padding; a stable sort pulls
+    # live lanes to the front so every fixed-shape stage downstream
+    # (k-NN, plane fits, H rows, insert) runs at the cap width instead
+    # of M. Permutation only — no live point changes — except when live
+    # lanes exceed the cap, which drops the overflow and COUNTS it.
+    n_meas_dropped = jnp.asarray(0, jnp.int32)
+    if cfg.max_meas_points is not None and cfg.max_meas_points < M:
+        Mc = cfg.max_meas_points
+        order = jnp.argsort(~flat_mask, stable=True)[:Mc]
+        n_live = jnp.sum(flat_mask)
+        n_meas_dropped = jnp.maximum(0, n_live - Mc).astype(jnp.int32)
+        flat_pts = flat_pts[order]
+        flat_epoch = flat_epoch[order]
+        flat_mask = flat_mask[order]
+        flat_lidar = flat_lidar[order]
+        M = Mc
+
     # ---- local map box + eviction ----
     pos_lid = und.x.pos + so3.quat_rotate(und.x.rot, und.x.ext_t[und.base])
     box_min, box_max, box_init, moved = _fov_segment(
@@ -252,6 +281,7 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
             max_iter=cfg.max_iteration,
             limit=cfg.converge_limit,
             search_on_converge=not cfg.single_search,
+            Pi0=carry.Pi,
         )
 
     def skip_update(_):
@@ -261,6 +291,7 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
             iterations=jnp.asarray(0, jnp.int32),
             valid=jnp.asarray(False),
             cache=cache0,
+            Pi=carry.Pi,
         )
 
     upd = jax.lax.cond(carry.map_init, do_update, skip_update, None)
@@ -307,6 +338,7 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
     new_carry = LioCarry(
         x=upd.x,
         P=upd.P,
+        Pi=upd.Pi,
         Q=carry.Q,
         hist=und.hist,
         map=map_state,
@@ -339,6 +371,8 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
         kf_mask=ds_mask[und.base],
         world_pts=world_pts,
         world_mask=flat_mask,
+        n_meas_dropped=n_meas_dropped,
+        w_loc=upd.cache.w_loc,
     )
     return new_carry, out
 
@@ -424,4 +458,8 @@ def apply_world_correction(cfg, carry: LioCarry, dq, dt):
         box_min=box_min,
         box_max=box_max,
         box_init=jnp.asarray(True),
+        # the information matrix changed frame: drop the warm start (a
+        # stale Pi would only fail the residual gate, but zeroing makes
+        # the fallback deterministic)
+        Pi=jnp.zeros_like(carry.Pi),
     )

@@ -332,12 +332,18 @@ def undistort(
     ext_q = x_f.ext_r  # (L, 4)
     ext_t = x_f.ext_t
     p_in = group.pts[..., :3]
-    if cfg.pallas_deskew:
+    import jax as _jax
+
+    use_pallas_deskew = cfg.pallas_deskew
+    if use_pallas_deskew is None:  # auto: kernel on the TPU f32 path
+        use_pallas_deskew = (
+            _jax.default_backend() == "tpu" and p_in.dtype == jnp.float32
+        )
+    if use_pallas_deskew:
         # fused kernel path: per-LiDAR calls (ext/lt change per LiDAR)
         from .ops.deskew_pallas import deskew_points
-        import jax as _jax
 
-        interp = _jax.default_backend() == "cpu"
+        interp = _jax.default_backend() != "tpu"
         outs = []
         for l in range(L):
             o = deskew_points(

@@ -299,3 +299,44 @@ def test_extrinsic_estimation_converges():
     for res in (res_on, res_off):
         gt = traj.pos(res["t"])
         assert ate.ate_rmse(res["pos"], gt, align=True) < 0.15
+
+
+def test_meas_compaction_permutation_invariance():
+    """cfg.max_meas_points compaction with live < cap is a pure lane
+    permutation: per-round outputs must match the uncompacted run to
+    f64 reduction-order noise, with zero counted drops; a cap BELOW the
+    live count must count the overflow and keep tracking."""
+    import dataclasses
+
+    L, pts = 2, 512
+    base = _cfg(L, pts)
+    seq = SyntheticSequence(
+        duration=2.5, num_lidars=L, points_per_scan=pts,
+        ext_t=np.array([[0.2, 0.0, 0.0], [-0.3, 0.3, 0.1]]),
+    )
+    imu, rounds_ = seq.generate()[:2]
+    groups = assemble_groups(base, imu, rounds_)
+
+    def run(cfg, n_rounds=10):
+        res = runner.run_sequence(cfg, groups[: n_rounds + 4], dtype=jnp.float64)
+        return res
+
+    res_off = run(base)
+    live_max = int(res_off["n_effective"].max())
+    # choose a cap comfortably above the observed live count but < M
+    cap = min(L * pts - 1, max(live_max * 2, L * pts * 7 // 8))
+    cfg_cap = dataclasses.replace(base, max_meas_points=cap)
+    res_cap = run(cfg_cap)
+    n = min(len(res_off["pos"]), len(res_cap["pos"]))
+    assert n > 5
+    np.testing.assert_allclose(
+        res_cap["pos"][:n], res_off["pos"][:n], atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        res_cap["map_size"][:n], res_off["map_size"][:n]
+    )
+
+    # a cap below the live count: overflow dropped but the filter tracks
+    cfg_tiny = dataclasses.replace(base, max_meas_points=(L * pts) // 4)
+    res_tiny = run(cfg_tiny)
+    assert np.isfinite(res_tiny["pos"]).all()
