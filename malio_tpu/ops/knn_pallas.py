@@ -103,9 +103,12 @@ def topk_candidates(d2, cand_pts, cand_covs, K: int,
     py = cand_pts[..., 1]
     pz = cand_pts[..., 2]
 
-    # query-block size: ~12 live (QB, C) f32 arrays (5 plane inputs + the
-    # kernel's running-min/select intermediates) must fit VMEM; cap 12 MB
-    qblock = max(8, min(QBLOCK, ((12 << 20) // (12 * C * 4)) // 8 * 8))
+    # query-block size: ~12 live (QB, C) f32 arrays (5 double-buffered
+    # plane inputs + the kernel's running-min/select intermediates) must
+    # fit the 16 MB scoped-VMEM stack; an 8 MB budget leaves headroom for
+    # Mosaic's pipelining copies (measured: a 12 MB budget overflowed by
+    # 0.5 MB at C = 6656)
+    qblock = max(8, min(QBLOCK, ((8 << 20) // (12 * C * 4)) // 8 * 8))
 
     pad = (-Q) % qblock
     if pad:
