@@ -130,6 +130,8 @@ def main():
         kinds[k][1] += b
     for k, (cnt, b) in sorted(kinds.items()):
         print(f"  {k:20s} x{cnt:3d}  {b/1e6:9.3f} MB")
+    for k, b, line in sorted(ops, key=lambda o: -o[1])[:8]:
+        print(f"    {b/1e6:9.3f} MB  {line[:90]}")
     t2 = timed_steps(mesh2, step2, c2, g2)
     print(f"mp=2 virtual-CPU step: {t2:.1f} ms")
 
