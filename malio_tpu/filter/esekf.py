@@ -39,6 +39,17 @@ class HShareResult(NamedTuple):
 
 HShareFn = Callable[[st.State, jnp.ndarray, Any], tuple[HShareResult, Any]]
 
+# Debug/bisect knob (trace-time): True forces the direct unrolled-
+# Cholesky inverse every IEKF iteration, bypassing the Newton-Schulz
+# warm path entirely. Used by the soak bisect harness to attribute
+# long-horizon divergence between the two solve paths.
+FORCE_DIRECT_SOLVE = False
+
+# Trace-time debug: emit per-iteration jax.debug.print diagnostics from
+# inside the IEKF while-loop (dx magnitudes by block, residual bounds,
+# information-matrix extremes). Zero cost when False.
+DEBUG_PRINT = False
+
 
 def _inv3(B):
     """Closed-form 3x3 inverse (adjugate / Cramer)."""
@@ -311,17 +322,35 @@ def update_iterated(
                 X = 0.5 * (X + X.T)
             return X
 
-        X_w = jax.lax.cond(r0 < 0.95, warm, lambda _: Pi_prev, None)
-        r1 = _sbound(I_n - P_temp @ X_w)
-        Pi = jax.lax.cond(
-            r1 < 1e-7, lambda _: X_w, lambda _: _spd_inverse(P_temp), None
-        )
+        if FORCE_DIRECT_SOLVE:
+            Pi = _spd_inverse(P_temp)
+        else:
+            X_w = jax.lax.cond(r0 < 0.95, warm, lambda _: Pi_prev, None)
+            r1 = _sbound(I_n - P_temp @ X_w)
+            Pi = jax.lax.cond(
+                r1 < 1e-7, lambda _: X_w, lambda _: _spd_inverse(P_temp), None
+            )
         Pia = Pi[:, :act]
         K_h = Pia @ (HTw @ res.h.astype(sdtype))
         K_xa = Pia @ HTH  # (n, act)
 
         dx_out = K_h + K_xa @ dx_new[:act] - dx_new
         dx_out = jnp.where(res.valid, dx_out, jnp.zeros_like(dx_out))
+        if DEBUG_PRINT:
+            jax.debug.print(
+                "iekf i={i} neff={ne} |h|max={h:.4e} r0={r0:.3e} "
+                "dx_pos={dp:.4e} dx_rot={dr:.4e} dx_bg={db:.4e} "
+                "Ptmp_dmin={dm:.3e} Ptmp_dmax={dM:.3e} Pi_max={pm:.3e}",
+                i=i, ne=jnp.sum(res.mask), h=jnp.max(jnp.abs(res.h)),
+                r0=r0,
+                dp=jnp.max(jnp.abs(dx_out[:3])),
+                dr=jnp.max(jnp.abs(dx_out[3:6])),
+                db=jnp.max(jnp.abs(jax.lax.dynamic_slice(
+                    dx_out, (st.idx_bg(L),), (3,)))),
+                dm=jnp.min(jnp.diagonal(P_temp)),
+                dM=jnp.max(jnp.diagonal(P_temp)),
+                pm=jnp.max(jnp.abs(Pi)),
+            )
         x_new = st.boxplus(x, dx_out)
 
         conv_new = jnp.all(jnp.abs(dx_out) < limit) & res.valid

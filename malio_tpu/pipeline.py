@@ -86,10 +86,23 @@ class StepOutput(NamedTuple):
 def init_carry(cfg, x0: st.State, P0, Q, dtype=jnp.float32) -> LioCarry:
     n = P0.shape[0]
     sdtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    # The covariance is CARRIED in the solve dtype (f64 when available),
+    # not the point dtype. Measured necessity (round-5 City01-length
+    # soak): with P stored f32, ~6000 fusion rounds of the subtraction-
+    # form posterior accumulate a numerically singular direction
+    # (P_temp diagonal reaches ~2.5e19 after information-form assembly);
+    # the solve then amplifies backend-level f64 rounding differences
+    # into an O(1) gain error along the weakly observed bias subspace
+    # and the filter detonates (bg jumped to -7.8 rad/s at round 6322).
+    # f64 storage keeps the near-converged directions representable —
+    # the same precision the reference's Eigen pipeline carries. The
+    # extra cost is (n, n) f64 propagation per IMU step, noise next to
+    # the (M, ·) point math which stays f32.
+    P0 = P0.astype(sdtype)
     return LioCarry(
         Pi=jnp.zeros((n, n), sdtype),
         x=x0,
-        P=P0.astype(dtype),
+        P=P0,
         Q=Q.astype(dtype),
         hist=prop.empty_history(cfg.traj_capacity, dtype),
         map=vh.create(cfg.map_capacity, cfg.filter_size_map, dtype),
@@ -162,7 +175,8 @@ def scan_steps(cfg, carry: LioCarry, groups: prop.MeasureGroup):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
     L = cfg.num_lidars
-    dtype = carry.P.dtype
+    # point dtype: P is carried in the solve dtype (f64 on the flagship)
+    dtype = carry.x.pos.dtype
     M_DS = cfg.max_points_per_scan
     M = L * M_DS
 
@@ -230,7 +244,8 @@ def step(cfg, carry: LioCarry, group: prop.MeasureGroup):
     # (laserMapping.cpp:1027-1048) ----
     def ext_pose(l):
         return unc.Pose(
-            q=und.x.ext_r[l], t=und.x.ext_t[l], cov=prop._ext_cov6(und.P, l, L)
+            q=und.x.ext_r[l], t=und.x.ext_t[l],
+            cov=prop._ext_cov6(und.P, l, L).astype(dtype),
         )
 
     def compose(l, k):
@@ -404,7 +419,7 @@ def apply_world_correction(cfg, carry: LioCarry, dq, dt):
     """
     from .geometry import s2
 
-    dtype = carry.P.dtype
+    dtype = carry.x.pos.dtype
     dq = so3.quat_normalize(dq.astype(dtype))
     dt = dt.astype(dtype)
     x = carry.x

@@ -147,8 +147,12 @@ def _batch_propagate(x0, P0, gyros, accs, dts, valids, Q):
 
     Fs, Qts = jax.vmap(jac)(pres, gyros, accs, dts)
     I = jnp.eye(n, dtype=dtype)
-    Fs = jnp.where(valids[:, None, None], Fs, I[None])
-    Qts = jnp.where(valids[:, None, None], Qts, jnp.zeros_like(Qts))
+    # promote to P's (solve) dtype: the associative scan concatenates
+    # its operands at the lax level, which rejects mixed f32/f64
+    Fs = jnp.where(valids[:, None, None], Fs.astype(dtype), I[None])
+    Qts = jnp.where(
+        valids[:, None, None], Qts.astype(dtype), jnp.zeros((n, n), dtype)
+    )
     Ps = dynamics.parallel_covariance(Fs, Qts, P0)
     return x_f, Ps[-1], posts, Ps
 
@@ -174,7 +178,10 @@ def _append(h: History, t, q, p, cov, inp, valid):
 
     def put(buf, val):
         padded = jnp.concatenate([buf, jnp.zeros_like(buf[:1])], axis=0)
-        return padded.at[tgt].set(val)[:cap]
+        # explicit cast: P-derived covariances arrive in the f64 solve
+        # dtype while the history stays in the point dtype (implicit
+        # scatter narrowing is deprecated in JAX)
+        return padded.at[tgt].set(val.astype(buf.dtype))[:cap]
 
     return History(
         t=put(h.t, t), q=put(h.q, q), p=put(h.p, p), cov=put(h.cov, cov),
@@ -198,7 +205,10 @@ def undistort(
 ) -> UndistortResult:
     L = x.num_lidars
     n = st.dof(L)
-    dtype = P.dtype
+    # POINT dtype comes from the state, NOT from P: the covariance is
+    # carried in the solve dtype (f64 on the flagship — see
+    # pipeline.init_carry) while every (M, ·)/history tensor stays f32
+    dtype = x.pos.dtype
     cap = hist.t.shape[0]
     E = cfg.epoch_capacity
 
@@ -260,7 +270,7 @@ def undistort(
         p=jnp.concatenate([hist.p, jnp.zeros((1, 3), dtype)]).at[wslot].set(bp)[:cap],
         cov=jnp.concatenate([hist.cov, jnp.zeros((1, 6, 6), dtype)])
         .at[wslot]
-        .set(bcov)[:cap],
+        .set(bcov.astype(dtype))[:cap],
     )
 
     # ---- 4. forward propagation (:295-347) ----
@@ -323,7 +333,9 @@ def undistort(
     lt_t = jnp.where((jnp.arange(L) == base)[:, None], x_f.pos[None], lt_t_all)
     cov_at_cp0 = hist.cov[jnp.clip(cp0, 0, cap - 1)]
     lt_cov = jnp.where(
-        (jnp.arange(L) == base)[:, None, None], _pose_cov6(P_f)[None], cov_at_cp0
+        (jnp.arange(L) == base)[:, None, None],
+        _pose_cov6(P_f).astype(dtype)[None],  # P may be f64; chains are f32
+        cov_at_cp0,
     )
 
     # ---- 6. point deskew (:475-507) ----
@@ -403,7 +415,9 @@ def undistort(
     ep = ep.reshape(L, E, 3)
     ecov = hist.cov[jmat_c]  # (L, E, 6, 6)
 
-    ext_cov = jax.vmap(lambda l: _ext_cov6(P_f, l, L))(jnp.arange(L))
+    ext_cov = jax.vmap(lambda l: _ext_cov6(P_f, l, L))(jnp.arange(L)).astype(
+        dtype
+    )
     ext_pose = unc.Pose(q=ext_q, t=ext_t, cov=ext_cov)
     lt_pose = unc.Pose(q=lt_q, t=lt_t, cov=lt_cov)
     pt_pose = unc.Pose(q=eq, t=ep, cov=ecov)
